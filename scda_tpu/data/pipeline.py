@@ -1,0 +1,227 @@
+"""Static-shape input pipeline.
+
+Rebuild of the reference's roi_data_layer (L4):
+  - ``prep_im_for_blob`` scaling rule (ref lib/model/utils/blob.py:~40):
+    shorter side -> ``scale`` capped so the longer side <= ``max_size``.
+  - ``roibatchLoader`` batching (ref lib/roi_data_layer/roibatchLoader.py:
+    ~60-200): the reference groups images by aspect ratio and pads/crops
+    per batch so a batch shares one dynamic shape.  XLA wants ONE shape:
+    every image is placed top-left into a fixed ``image_size`` canvas and
+    its valid extent travels in ``im_info`` — downstream ops mask instead
+    of relying on tensor bounds.
+  - gt boxes padded to ``max_gt_boxes`` with a count (ref pads to 20/50).
+
+Outputs mirror the reference forward signature
+``(im_data, im_info, gt_boxes, num_boxes)`` (ref trainval_net.py:~300).
+Pixel processing matches the caffe-lineage recipe: BGR channel order,
+mean subtraction with ``pixel_means`` (ref blob.py:~45) — required for
+drop-in compatibility with caffe-pretrained VGG/ResNet weights.
+"""
+
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from scda_tpu.config import DataConfig
+from scda_tpu.data.voc import Dataset, ImageRecord
+
+
+@dataclass
+class Batch:
+    """One fixed-shape training batch."""
+
+    image: np.ndarray      # (B, H, W, 3) float32, BGR, mean-subtracted
+    im_info: np.ndarray    # (B, 3) float32: (valid_h, valid_w, scale)
+    gt_boxes: np.ndarray   # (B, G, 5) float32: (x1, y1, x2, y2, class)
+    num_boxes: np.ndarray  # (B,) int32
+
+
+def compute_scale(height: int, width: int, target: int, max_size: int) -> float:
+    """Ref ``prep_im_for_blob`` scale rule (blob.py:~40)."""
+    short, long_ = min(height, width), max(height, width)
+    scale = float(target) / short
+    if round(scale * long_) > max_size:
+        scale = float(max_size) / long_
+    return scale
+
+
+def load_image(record: ImageRecord) -> np.ndarray:
+    """Decode to float32 BGR HWC."""
+    from PIL import Image
+
+    with Image.open(record.image_path) as im:
+        rgb = np.asarray(im.convert("RGB"), dtype=np.float32)
+    return rgb[:, :, ::-1]  # RGB -> BGR (caffe convention)
+
+
+def prepare_image(
+    img_bgr: np.ndarray,
+    cfg: DataConfig,
+    flip: bool = False,
+) -> Tuple[np.ndarray, float, Tuple[int, int]]:
+    """Scale + mean-subtract + paste into the fixed canvas.
+
+    Returns (canvas (H, W, 3) float32, scale, (valid_h, valid_w)).
+    """
+    from PIL import Image
+
+    h, w = img_bgr.shape[:2]
+    canvas_h, canvas_w = cfg.image_size
+    scale = compute_scale(h, w, cfg.scale, cfg.max_size)
+    # Never overflow the canvas.
+    scale = min(scale, canvas_h / h, canvas_w / w)
+    new_h, new_w = int(round(h * scale)), int(round(w * scale))
+
+    if flip:
+        img_bgr = img_bgr[:, ::-1, :]
+
+    if (new_h, new_w) != (h, w):
+        im = Image.fromarray(img_bgr.astype(np.uint8)[:, :, ::-1])
+        im = im.resize((new_w, new_h), Image.BILINEAR)
+        resized = np.asarray(im, dtype=np.float32)[:, :, ::-1]
+    else:
+        resized = img_bgr.astype(np.float32)
+
+    resized = resized - np.asarray(cfg.pixel_means, np.float32)
+
+    canvas = np.zeros((canvas_h, canvas_w, 3), np.float32)
+    canvas[:new_h, :new_w] = resized
+    return canvas, scale, (new_h, new_w)
+
+
+def prepare_gt_boxes(
+    record: ImageRecord,
+    scale: float,
+    cfg: DataConfig,
+    flip: bool = False,
+) -> Tuple[np.ndarray, int]:
+    """Scale (and maybe flip) gt boxes into canvas coords; pad to fixed G."""
+    g = cfg.max_gt_boxes
+    out = np.zeros((g, 5), np.float32)
+    boxes = record.boxes.copy()
+    if flip and len(boxes):
+        # Ref imdb.append_flipped_images (lib/datasets/imdb.py:~150).
+        x1 = record.width - boxes[:, 2] - 1
+        x2 = record.width - boxes[:, 0] - 1
+        boxes[:, 0], boxes[:, 2] = x1, x2
+    n = min(len(boxes), g)
+    if n:
+        out[:n, :4] = boxes[:n] * scale
+        out[:n, 4] = record.labels[:n].astype(np.float32)
+    return out, n
+
+
+def make_example(
+    record: ImageRecord, cfg: DataConfig, flip: bool = False
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    img = load_image(record)
+    canvas, scale, (vh, vw) = prepare_image(img, cfg, flip)
+    gt, n = prepare_gt_boxes(record, scale, cfg, flip)
+    im_info = np.array([vh, vw, scale], np.float32)
+    return canvas, im_info, gt, n
+
+
+def _collate(examples) -> Batch:
+    imgs, infos, gts, counts = zip(*examples)
+    return Batch(
+        image=np.stack(imgs).astype(np.float32),
+        im_info=np.stack(infos).astype(np.float32),
+        gt_boxes=np.stack(gts).astype(np.float32),
+        num_boxes=np.asarray(counts, np.int32),
+    )
+
+
+class DataLoader:
+    """Epoch-based shuffled loader with optional background prefetch.
+
+    Replaces the reference's ``torch.utils.data.DataLoader`` + ratio-grouped
+    ``sampler`` (trainval_net.py:~280).  Host-side only; the arrays it
+    yields are device-put by the train loop (and sharded by pjit).
+    """
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        cfg: DataConfig,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        augment_flip: Optional[bool] = None,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.augment_flip = (
+            cfg.use_flipped if augment_flip is None else augment_flip
+        )
+        self.rng = np.random.RandomState(seed)
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        return max(len(self.dataset) // self.batch_size, 1)
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        # Drop ragged tail so every batch has the static batch size
+        # (the reference relied on its sampler for the same invariant).
+        n = (len(idx) // self.batch_size) * self.batch_size
+        if n == 0:
+            # Tiny datasets: wrap around.
+            reps = -(-self.batch_size // max(len(idx), 1))
+            idx = np.tile(idx, reps)[: self.batch_size]
+            return idx
+        return idx[:n]
+
+    def _make_batch(self, indices: Sequence[int]) -> Batch:
+        examples = []
+        for i in indices:
+            flip = self.augment_flip and bool(self.rng.randint(2))
+            examples.append(
+                make_example(self.dataset.records[i], self.cfg, flip)
+            )
+        return _collate(examples)
+
+    def __iter__(self) -> Iterator[Batch]:
+        idx = self._epoch_indices()
+        batches = [
+            idx[i : i + self.batch_size]
+            for i in range(0, len(idx), self.batch_size)
+        ]
+        if self.prefetch <= 0:
+            for b in batches:
+                yield self._make_batch(b)
+            return
+
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for b in batches:
+                    q.put(self._make_batch(b))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+    def repeat(self) -> Iterator[Batch]:
+        """Endless stream over reshuffled epochs (for step-based loops and
+        the SCDA target-domain feed)."""
+        while True:
+            yield from self

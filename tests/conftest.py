@@ -1,0 +1,30 @@
+"""Test harness: run everything on a simulated 8-device CPU backend.
+
+The reference had no test suite at all (SURVEY.md §4); multi-GPU was only
+exercised by actually running ``--mGPUs``.  Here the same pjit code path
+that runs on a TPU slice runs on 8 virtual CPU devices, so sharding and
+collective behaviour is covered in CI without hardware.
+
+Env vars must be set before jax initialises, hence module scope.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

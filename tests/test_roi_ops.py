@@ -1,0 +1,167 @@
+"""RoI align / pool tests vs straightforward numpy oracles.
+
+The oracles implement the op specs independently (scalar loops, no
+vectorization tricks) so agreement is meaningful.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scda_tpu.ops.roi_ops import roi_align, roi_pool
+
+
+def np_bilinear(feat, y, x):
+    """feat (H, W, C); torchvision border rules."""
+    H, W, _ = feat.shape
+    if y < -1.0 or y > H or x < -1.0 or x > W:
+        return np.zeros(feat.shape[-1], feat.dtype)
+    y = min(max(y, 0.0), H - 1)
+    x = min(max(x, 0.0), W - 1)
+    y0, x0 = int(np.floor(y)), int(np.floor(x))
+    y1, x1 = min(y0 + 1, H - 1), min(x0 + 1, W - 1)
+    ly, lx = y - y0, x - x0
+    return (
+        (1 - ly) * (1 - lx) * feat[y0, x0]
+        + (1 - ly) * lx * feat[y0, x1]
+        + ly * (1 - lx) * feat[y1, x0]
+        + ly * lx * feat[y1, x1]
+    )
+
+
+def np_roi_align(feat, box, P, scale, s, aligned=False):
+    off = 0.5 if aligned else 0.0
+    x1, y1, x2, y2 = [v * scale - off for v in box]
+    rw, rh = x2 - x1, y2 - y1
+    if not aligned:
+        rw, rh = max(rw, 1.0), max(rh, 1.0)
+    bw, bh = rw / P, rh / P
+    out = np.zeros((P, P, feat.shape[-1]), np.float64)
+    for ph in range(P):
+        for pw in range(P):
+            acc = np.zeros(feat.shape[-1], np.float64)
+            for iy in range(s):
+                for ix in range(s):
+                    y = y1 + (ph + (iy + 0.5) / s) * bh
+                    x = x1 + (pw + (ix + 0.5) / s) * bw
+                    acc += np_bilinear(feat, y, x)
+            out[ph, pw] = acc / (s * s)
+    return out
+
+
+def np_roi_pool(feat, box, P, scale):
+    H, W, C = feat.shape
+    x1 = round(box[0] * scale)
+    y1 = round(box[1] * scale)
+    x2 = round(box[2] * scale)
+    y2 = round(box[3] * scale)
+    rw = max(x2 - x1 + 1, 1)
+    rh = max(y2 - y1 + 1, 1)
+    out = np.zeros((P, P, C), np.float64)
+    for ph in range(P):
+        for pw in range(P):
+            hs = int(np.clip(np.floor(ph * rh / P) + y1, 0, H))
+            he = int(np.clip(np.ceil((ph + 1) * rh / P) + y1, 0, H))
+            ws = int(np.clip(np.floor(pw * rw / P) + x1, 0, W))
+            we = int(np.clip(np.ceil((pw + 1) * rw / P) + x1, 0, W))
+            if he > hs and we > ws:
+                out[ph, pw] = feat[hs:he, ws:we].reshape(-1, C).max(0)
+    return out
+
+
+def random_rois(rng, n, im_h, im_w):
+    x1 = rng.uniform(0, im_w - 20, n)
+    y1 = rng.uniform(0, im_h - 20, n)
+    x2 = x1 + rng.uniform(8, im_w / 2, n)
+    y2 = y1 + rng.uniform(8, im_h / 2, n)
+    return np.stack(
+        [x1, y1, np.minimum(x2, im_w - 1), np.minimum(y2, im_h - 1)], 1
+    ).astype(np.float32)
+
+
+class TestRoiAlign:
+    def test_matches_oracle(self, rng):
+        feat = rng.randn(2, 16, 24, 8).astype(np.float32)
+        rois = random_rois(rng, 12, 256, 384)
+        bidx = rng.randint(0, 2, 12).astype(np.int32)
+        got = np.asarray(
+            roi_align(
+                jnp.array(feat), jnp.array(rois), jnp.array(bidx),
+                output_size=7, spatial_scale=1 / 16, sampling_ratio=2,
+            )
+        )
+        for i in range(12):
+            want = np_roi_align(feat[bidx[i]], rois[i], 7, 1 / 16, 2)
+            np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
+
+    def test_aligned_variant(self, rng):
+        feat = rng.randn(1, 16, 16, 4).astype(np.float32)
+        rois = random_rois(rng, 6, 256, 256)
+        got = np.asarray(
+            roi_align(
+                jnp.array(feat), jnp.array(rois),
+                output_size=5, spatial_scale=1 / 16, sampling_ratio=3,
+                aligned=True,
+            )
+        )
+        for i in range(6):
+            want = np_roi_align(feat[0], rois[i], 5, 1 / 16, 3, aligned=True)
+            np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
+
+    def test_rois5_layout(self, rng):
+        feat = rng.randn(2, 8, 8, 4).astype(np.float32)
+        rois = random_rois(rng, 4, 128, 128)
+        bidx = np.array([0, 1, 0, 1], np.int32)
+        r5 = np.concatenate([bidx[:, None].astype(np.float32), rois], 1)
+        a = roi_align(jnp.array(feat), jnp.array(rois), jnp.array(bidx))
+        b = roi_align(jnp.array(feat), jnp.array(r5))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_gradients_flow_to_features(self, rng):
+        feat = rng.randn(1, 8, 8, 4).astype(np.float32)
+        rois = random_rois(rng, 3, 128, 128)
+
+        def loss(f):
+            return jnp.sum(roi_align(f, jnp.array(rois)) ** 2)
+
+        g = jax.grad(loss)(jnp.array(feat))
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_jit_static(self, rng):
+        feat = rng.randn(1, 8, 8, 4).astype(np.float32)
+        rois = random_rois(rng, 3, 128, 128)
+        fn = jax.jit(lambda f, r: roi_align(f, r))
+        out = fn(jnp.array(feat), jnp.array(rois))
+        assert out.shape == (3, 7, 7, 4)
+
+
+class TestRoiPool:
+    def test_matches_oracle(self, rng):
+        feat = rng.randn(2, 16, 24, 6).astype(np.float32)
+        rois = random_rois(rng, 10, 256, 384)
+        bidx = rng.randint(0, 2, 10).astype(np.int32)
+        got = np.asarray(
+            roi_pool(
+                jnp.array(feat), jnp.array(rois), jnp.array(bidx),
+                output_size=7, spatial_scale=1 / 16,
+            )
+        )
+        for i in range(10):
+            want = np_roi_pool(feat[bidx[i]], rois[i], 7, 1 / 16)
+            np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-5)
+
+    def test_tiny_roi(self, rng):
+        # RoI smaller than one cell: every bin sees the same single cell.
+        feat = rng.randn(1, 16, 16, 3).astype(np.float32)
+        rois = np.array([[33.0, 49.0, 34.0, 50.0]], np.float32)
+        got = np.asarray(roi_pool(jnp.array(feat), jnp.array(rois)))
+        want = np_roi_pool(feat[0], rois[0], 7, 1 / 16)
+        np.testing.assert_allclose(got[0], want, rtol=1e-5)
+
+    def test_full_image_roi(self, rng):
+        feat = rng.randn(1, 32, 32, 3).astype(np.float32)
+        rois = np.array([[0.0, 0.0, 511.0, 511.0]], np.float32)
+        got = np.asarray(roi_pool(jnp.array(feat), jnp.array(rois)))
+        want = np_roi_pool(feat[0], rois[0], 7, 1 / 16)
+        np.testing.assert_allclose(got[0], want, rtol=1e-5)
