@@ -1,0 +1,89 @@
+"""VGG16 backbone + head, Flax/NHWC.
+
+Rebuild of ref lib/model/faster_rcnn/vgg16.py (~110 LoC): torchvision
+VGG16 conv1_1..conv5_3 as the base (stride 16, 512 channels; final maxpool
+dropped), fc6/fc7 (4096) as the per-RoI head.  Differences by design:
+
+  * NHWC layout and bf16 compute (MXU-native) with f32 params.
+  * conv1/conv2 freezing is realised by the optimizer trainable-mask
+    (:func:`frozen_param_mask`), not by flipping requires_grad — the
+    jitted step stays purely functional.
+  * Caffe-pretrained weights drop in via
+    scda_tpu.train.torch_convert; layer names here deliberately match the
+    torchvision ``features.N`` indexing to make that converter trivial.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torchvision VGG16 "features" layout: (torch layer index, channels) for
+# convs; "M" for maxpools.  Ref vgg16.py uses features[:-1] (no final pool).
+VGG16_LAYOUT = (
+    (0, 64), (2, 64), "M",
+    (5, 128), (7, 128), "M",
+    (10, 256), (12, 256), (14, 256), "M",
+    (17, 512), (19, 512), (21, 512), "M",
+    (24, 512), (26, 512), (28, 512),
+)
+
+# Torch indices belonging to conv1+conv2 (frozen in the reference,
+# vgg16.py:~50: "Fix the layers before conv3").
+_FROZEN_TORCH_IDX = (0, 2, 5, 7)
+
+
+class VGG16Backbone(nn.Module):
+    """conv1_1..conv5_3, stride 16, 512-channel output."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        for item in VGG16_LAYOUT:
+            if item == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            else:
+                idx, ch = item
+                x = nn.Conv(
+                    ch, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=jnp.float32, name=f"conv{idx}",
+                )(x)
+                x = nn.relu(x)
+        return x
+
+
+class VGG16Head(nn.Module):
+    """fc6-fc7 per-RoI head (ref vgg16.py ``_head_to_tail``: the
+    torchvision classifier minus the last fc, dropout included)."""
+
+    dtype: Any = jnp.bfloat16
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, pooled: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # pooled: (R, P, P, C) -> flat in torch CHW order so fc6 weights
+        # converted from torch keep their meaning.
+        x = jnp.transpose(pooled, (0, 3, 1, 2)).reshape(pooled.shape[0], -1)
+        x = x.astype(self.dtype)
+        x = nn.Dense(4096, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc6")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.Dense(4096, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc7")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return x
+
+    @property
+    def out_dim(self) -> int:
+        return 4096
+
+
+def vgg_frozen_param_paths() -> Sequence[str]:
+    """Dot-path prefixes of params that stay frozen (ref vgg16.py:~50)."""
+    return tuple(f"backbone/conv{i}" for i in _FROZEN_TORCH_IDX)

@@ -1,0 +1,155 @@
+"""Faster R-CNN model assembly (parameters + network forward pieces).
+
+Rebuild of ref lib/model/faster_rcnn/faster_rcnn.py (~160 LoC) +
+vgg16.py/resnet.py subclasses.  The reference couples the whole pipeline
+(targets, NMS, pooling, losses) inside ``_fasterRCNN.forward``; here the
+*module* holds only parameterized network pieces — backbone, RPN head,
+RoI head — exposed as methods, and the pipeline lives in
+:mod:`scda_tpu.models.detector` as pure functions so the same params work
+for train/inference/adaptation variants under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from scda_tpu.config import ModelConfig
+from scda_tpu.models.backbones.resnet import ResNetBackbone, ResNetC4Head
+from scda_tpu.models.backbones.vgg import VGG16Backbone, VGG16Head
+from scda_tpu.models.rpn import RPNHead
+from scda_tpu.ops.roi_ops import roi_align, roi_pool
+
+
+def _normal_init(stddev: float):
+    return nn.initializers.normal(stddev)
+
+
+def _truncated_init(stddev: float):
+    return nn.initializers.truncated_normal(stddev)
+
+
+class FasterRCNN(nn.Module):
+    """Backbone + RPN head + RoI classification head."""
+
+    cfg: ModelConfig
+    num_anchors: int = 9
+
+    @property
+    def dtype(self) -> Any:
+        return (
+            jnp.bfloat16
+            if self.cfg.compute_dtype == "bfloat16"
+            else jnp.float32
+        )
+
+    def setup(self):
+        c = self.cfg
+        if c.backbone == "vgg16":
+            self.backbone = VGG16Backbone(dtype=self.dtype)
+            self.head = VGG16Head(dtype=self.dtype)
+            head_dim = 4096
+        elif c.backbone.startswith("resnet"):
+            depth = int(c.backbone.replace("resnet", ""))
+            self.backbone = ResNetBackbone(depth=depth, dtype=self.dtype)
+            self.head = ResNetC4Head(depth=depth, dtype=self.dtype)
+            head_dim = 2048
+        else:
+            raise ValueError(f"unknown backbone {c.backbone!r}")
+        del head_dim
+
+        self.rpn = RPNHead(
+            num_anchors=self.num_anchors,
+            channels=c.rpn_channels,
+            dtype=self.dtype,
+        )
+        # Ref _init_weights (faster_rcnn.py:~120): cls 0.01, bbox 0.001.
+        init = _truncated_init if c.truncated_init else _normal_init
+        self.cls_score = nn.Dense(
+            c.num_classes, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=init(0.01), name="cls_score",
+        )
+        bbox_out = 4 if c.class_agnostic else 4 * c.num_classes
+        self.bbox_pred = nn.Dense(
+            bbox_out, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=init(0.001), name="bbox_pred",
+        )
+
+    # --- network pieces (each usable via apply(..., method=...)) ---------
+
+    def features(self, image: jnp.ndarray) -> jnp.ndarray:
+        """Image (B, H, W, 3) -> base features (B, H/16, W/16, C)."""
+        return self.backbone(image)
+
+    def rpn_out(self, feat: jnp.ndarray):
+        return self.rpn(feat)
+
+    def roi_head(self, pooled: jnp.ndarray, train: bool = False):
+        """Pooled rois (R, P, P, C) -> (cls_logits (R, C+1),
+        bbox_deltas (R, 4 or 4(C+1)))."""
+        hidden = self.head(pooled, train=train)
+        return (
+            self.cls_score(hidden).astype(jnp.float32),
+            self.bbox_pred(hidden).astype(jnp.float32),
+        )
+
+    def __call__(self, image: jnp.ndarray, train: bool = False):
+        """Init/tracing path touching every parameter."""
+        feat = self.features(image)
+        cls_logits, bbox = self.rpn_out(feat)
+        p = self.cfg.pooling_size
+        dummy_rois = jnp.tile(
+            jnp.asarray([[0.0, 0.0, 64.0, 64.0]], jnp.float32), (2, 1)
+        )
+        pooled = pool_rois(
+            feat, dummy_rois, jnp.zeros((2,), jnp.int32), self.cfg
+        )
+        scores, deltas = self.roi_head(pooled, train=train)
+        return feat, cls_logits, bbox, scores, deltas
+
+
+def pool_rois(
+    feat: jnp.ndarray,
+    rois: jnp.ndarray,
+    batch_indices: jnp.ndarray,
+    cfg: ModelConfig,
+    *,
+    output_size: int | None = None,
+) -> jnp.ndarray:
+    """Dispatch on cfg.pooling_mode (ref faster_rcnn.py:~95: the
+    align/pool/crop switch; crop mode is intentionally dropped — align
+    subsumes it, SURVEY.md §2a)."""
+    p = output_size or cfg.pooling_size
+    if cfg.pooling_mode == "align":
+        return roi_align(
+            feat, rois, batch_indices,
+            output_size=p,
+            spatial_scale=1.0 / cfg.feat_stride,
+            sampling_ratio=cfg.sampling_ratio,
+        )
+    if cfg.pooling_mode == "pool":
+        return roi_pool(
+            feat, rois, batch_indices,
+            output_size=p,
+            spatial_scale=1.0 / cfg.feat_stride,
+        )
+    raise ValueError(f"unknown pooling_mode {cfg.pooling_mode!r}")
+
+
+def build_model(cfg: ModelConfig, num_anchors: int = 9) -> FasterRCNN:
+    return FasterRCNN(cfg=cfg, num_anchors=num_anchors)
+
+
+def init_params(
+    model: FasterRCNN, rng: jax.Array, image_shape, train: bool = False
+):
+    """Initialise all parameters with a dummy image."""
+    dummy = jnp.zeros(image_shape, jnp.float32)
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        dummy, train=train,
+    )
+    return variables["params"]

@@ -165,25 +165,29 @@ def roi_pool(
     flat = features.reshape(b * height * width, c).astype(jnp.float32)
     boxes = jax.lax.stop_gradient(boxes.astype(jnp.float32))
 
-    x1 = jnp.round(boxes[:, 0] * spatial_scale)
-    y1 = jnp.round(boxes[:, 1] * spatial_scale)
-    x2 = jnp.round(boxes[:, 2] * spatial_scale)
-    y2 = jnp.round(boxes[:, 3] * spatial_scale)
-    roi_w = jnp.maximum(x2 - x1 + 1.0, 1.0)
-    roi_h = jnp.maximum(y2 - y1 + 1.0, 1.0)
+    x1 = jnp.round(boxes[:, 0] * spatial_scale).astype(jnp.int32)
+    y1 = jnp.round(boxes[:, 1] * spatial_scale).astype(jnp.int32)
+    x2 = jnp.round(boxes[:, 2] * spatial_scale).astype(jnp.int32)
+    y2 = jnp.round(boxes[:, 3] * spatial_scale).astype(jnp.int32)
+    roi_w = jnp.maximum(x2 - x1 + 1, 1)
+    roi_h = jnp.maximum(y2 - y1 + 1, 1)
 
     # Static upper bound on cells per bin.
     max_bin = max(-(-max(height, width) // p) + 1, 1)
 
-    ph = jnp.arange(p, dtype=jnp.float32)
+    ph = jnp.arange(p, dtype=jnp.int32)
 
     def bin_bounds(start, roi_size, limit):
-        # (R, P) start/end cell indices per bin, clamped.
-        lo = jnp.floor(ph[None, :] * roi_size[:, None] / p) + start[:, None]
-        hi = jnp.ceil((ph[None, :] + 1.0) * roi_size[:, None] / p) + start[:, None]
+        # (R, P) start/end cell indices per bin, clamped.  Pure integer
+        # arithmetic: floor(a/b) = a//b and ceil(a/b) = (a+b-1)//b are
+        # exact, unlike float division which XLA may rewrite as a
+        # reciprocal multiply (turning e.g. 21/7 into 3.0000002, whose
+        # ceil silently widens the bin).
+        lo = (ph[None, :] * roi_size[:, None]) // p + start[:, None]
+        hi = ((ph[None, :] + 1) * roi_size[:, None] + p - 1) // p + start[:, None]
         lo = jnp.clip(lo, 0, limit)
         hi = jnp.clip(hi, 0, limit)
-        return lo.astype(jnp.int32), hi.astype(jnp.int32)
+        return lo, hi
 
     ylo, yhi = bin_bounds(y1, roi_h, height)
     xlo, xhi = bin_bounds(x1, roi_w, width)
