@@ -1,0 +1,94 @@
+"""Dataset evaluation driver: run inference over a dataset, collect
+fixed-size detections, feed the VOC evaluator.
+
+Rebuild of ref test_net.py's main loop (~90-230): the reference runs
+bs=1 with per-class Python NMS loops; here images are batched to a
+static shape, the postprocess (including per-class NMS) happens on device
+inside the jitted eval step, and only the final fixed-size detection
+arrays come back to the host.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scda_tpu.config import Config
+from scda_tpu.data.pipeline import DataLoader
+from scda_tpu.data.voc import Dataset
+from scda_tpu.evals.voc_eval import evaluate_detections
+from scda_tpu.models.faster_rcnn import FasterRCNN
+from scda_tpu.train.steps import make_eval_step
+
+
+def run_inference(
+    model: FasterRCNN,
+    params,
+    dataset: Dataset,
+    cfg: Config,
+    batch_size: int = 1,
+    mesh=None,
+    progress: bool = False,
+):
+    """Returns (all_dets for evaluate_detections, images/sec)."""
+    eval_fn = make_eval_step(model, cfg, mesh=mesh)
+    loader = DataLoader(
+        dataset, cfg.data, batch_size, shuffle=False, augment_flip=False,
+    )
+
+    # Keep image order: DataLoader drops shuffle, but we also need ids.
+    ids = [r.image_id for r in dataset.records]
+    all_dets = defaultdict(list)
+    n_done = 0
+    t0 = time.perf_counter()
+    compile_time = 0.0
+    for bi, batch in enumerate(loader):
+        tb = time.perf_counter()
+        dets = eval_fn(params, jnp.asarray(batch.image),
+                       jnp.asarray(batch.im_info))
+        dets = jax.device_get(dets)
+        if bi == 0:
+            compile_time = time.perf_counter() - tb
+        for k in range(batch.image.shape[0]):
+            img_idx = bi * batch_size + k
+            if img_idx >= len(ids):
+                break
+            image_id = ids[img_idx]
+            valid = dets.valid[k]
+            for j in np.nonzero(valid)[0]:
+                cls_name = dataset.classes[int(dets.classes[k, j]) - 1]
+                all_dets[cls_name].append(
+                    (image_id, dets.boxes[k, j].astype(np.float64),
+                     float(dets.scores[k, j]))
+                )
+            n_done += 1
+        if progress and bi % 20 == 0:
+            print(f"  eval {n_done}/{len(ids)}", flush=True)
+    elapsed = time.perf_counter() - t0 - compile_time
+    ips = n_done / max(elapsed, 1e-9)
+    return dict(all_dets), ips
+
+
+def evaluate_model(
+    model: FasterRCNN,
+    params,
+    dataset: Dataset,
+    cfg: Config,
+    batch_size: int = 1,
+    mesh=None,
+    use_07_metric: bool = False,
+    progress: bool = False,
+) -> Dict[str, float]:
+    """Full eval: inference + VOC AP@0.5 (ref test_net.py end)."""
+    all_dets, ips = run_inference(
+        model, params, dataset, cfg, batch_size, mesh, progress
+    )
+    results = evaluate_detections(dataset, all_dets,
+                                  use_07_metric=use_07_metric)
+    results["images_per_sec"] = ips
+    return results

@@ -52,6 +52,12 @@ class FasterRCNN(nn.Module):
             self.backbone = VGG16Backbone(dtype=self.dtype)
             self.head = VGG16Head(dtype=self.dtype)
             head_dim = 4096
+        elif c.backbone == "tiny":
+            from scda_tpu.models.backbones.tiny import TinyBackbone, TinyHead
+
+            self.backbone = TinyBackbone(dtype=self.dtype)
+            self.head = TinyHead(dtype=self.dtype)
+            head_dim = 128
         elif c.backbone.startswith("resnet"):
             depth = int(c.backbone.replace("resnet", ""))
             self.backbone = ResNetBackbone(depth=depth, dtype=self.dtype)

@@ -10,7 +10,9 @@ Env vars must be set before jax initialises, hence module scope.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the machine environment pins JAX_PLATFORMS=axon
+# (the tunneled TPU); tests must run on the local CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

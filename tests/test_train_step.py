@@ -1,0 +1,142 @@
+"""End-to-end smoke tests: supervised train step, SCDA step, inference,
+and the 8-device simulated mesh (the fake-backend distributed test the
+reference never had — SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from helpers import synthetic_batch, tiny_config
+from scda_tpu.adapt.scda import (
+    create_scda_state, init_discriminator, make_scda_train_step,
+)
+from scda_tpu.models.detector import forward_inference
+from scda_tpu.models.faster_rcnn import build_model, init_params
+from scda_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from scda_tpu.train.state import create_train_state
+from scda_tpu.train.steps import make_eval_step, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    model = build_model(cfg.model)
+    h, w = cfg.data.image_size
+    params = init_params(model, jax.random.key(0), (1, h, w, 3))
+    return cfg, model, params
+
+
+class TestTrainStep:
+    def test_two_steps_loss_finite_and_decreasing_capable(self, setup, rng):
+        cfg, model, params = setup
+        state = create_train_state(cfg, params, steps_per_epoch=10)
+        step_fn = make_train_step(model, cfg, donate=False)
+        batch = synthetic_batch(rng, cfg)
+        base_rng = jax.random.key(42)
+
+        losses = []
+        for _ in range(3):
+            state, metrics = step_fn(state, *[jnp.array(x) for x in batch],
+                                     base_rng)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(l) for l in losses), losses
+        assert int(state.step) == 3
+        # Overfitting a single batch must reduce the loss.
+        assert losses[-1] < losses[0], losses
+
+    def test_metrics_keys(self, setup, rng):
+        cfg, model, params = setup
+        state = create_train_state(cfg, params)
+        step_fn = make_train_step(model, cfg, donate=False)
+        batch = synthetic_batch(rng, cfg)
+        _, metrics = step_fn(state, *[jnp.array(x) for x in batch],
+                             jax.random.key(0))
+        for k in ("loss", "rpn_cls", "rpn_box", "rcnn_cls", "rcnn_box",
+                  "fg_cnt", "bg_cnt"):
+            assert k in metrics
+        assert float(metrics["fg_cnt"]) >= 1
+
+    def test_frozen_params_do_not_move(self, rng):
+        # VGG16 conv1-2 must stay frozen under the optimizer mask.
+        cfg = tiny_config(backbone="vgg16")
+        model = build_model(cfg.model)
+        h, w = cfg.data.image_size
+        params = init_params(model, jax.random.key(0), (1, h, w, 3))
+        state = create_train_state(cfg, params)
+        step_fn = make_train_step(model, cfg, donate=False)
+        batch = synthetic_batch(rng, cfg)
+        before = np.asarray(params["backbone"]["conv0"]["kernel"])
+        before_c5 = np.asarray(params["backbone"]["conv28"]["kernel"])
+        state, _ = step_fn(state, *[jnp.array(x) for x in batch],
+                           jax.random.key(1))
+        after = np.asarray(state.params["backbone"]["conv0"]["kernel"])
+        after_c5 = np.asarray(state.params["backbone"]["conv28"]["kernel"])
+        np.testing.assert_array_equal(before, after)
+        assert np.abs(after_c5 - before_c5).max() > 0  # unfrozen layer moved
+
+
+class TestInference:
+    def test_detections_shapes_and_validity(self, setup, rng):
+        cfg, model, params = setup
+        eval_fn = make_eval_step(model, cfg)
+        image, im_info, _, _ = synthetic_batch(rng, cfg)
+        dets = eval_fn(params, jnp.array(image), jnp.array(im_info))
+        b = image.shape[0]
+        d = cfg.test.max_per_image
+        assert dets.boxes.shape == (b, d, 4)
+        assert dets.scores.shape == (b, d)
+        v = np.asarray(dets.valid)
+        s = np.asarray(dets.scores)
+        assert (s[v] > 0).all()
+        c = np.asarray(dets.classes)
+        assert ((c[v] >= 1) & (c[v] < cfg.model.num_classes)).all()
+        bx = np.asarray(dets.boxes)[v]
+        if len(bx):
+            assert (bx[:, 2] >= bx[:, 0] - 1e-3).all()
+
+
+class TestScdaStep:
+    def test_adaptation_step_runs_and_updates_both(self, setup, rng):
+        cfg0, model, params = setup
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg0, adapt=dataclasses.replace(cfg0.adapt, enabled=True)
+        )
+        d_model, d_params = init_discriminator(cfg, model,
+                                               jax.random.key(3))
+        det_state = create_train_state(cfg, params)
+        state = create_scda_state(cfg, det_state, d_params)
+        step_fn = make_scda_train_step(model, d_model, cfg, donate=False)
+
+        src = synthetic_batch(rng, cfg)
+        tgt_img, tgt_info, _, _ = synthetic_batch(rng, cfg)
+
+        d_before = np.asarray(d_params["conv1"]["kernel"])
+        state, metrics = step_fn(
+            state, *[jnp.array(x) for x in src],
+            jnp.array(tgt_img), jnp.array(tgt_info), jax.random.key(0),
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["adv"]))
+        d_after = np.asarray(state.d_params["conv1"]["kernel"])
+        assert np.abs(d_after - d_before).max() > 0
+        assert int(state.step) == 1
+
+
+class TestMesh8:
+    def test_train_step_on_8_device_mesh(self, setup):
+        cfg, model, params = setup
+        assert jax.device_count() >= 8, "conftest must fake 8 CPU devices"
+        mesh = make_mesh()
+        state = create_train_state(cfg, params)
+        state = replicate(mesh, state)
+        step_fn = make_train_step(model, cfg, mesh=mesh, donate=False)
+
+        r = np.random.RandomState(1)
+        batch = synthetic_batch(r, cfg, batch_size=8)
+        sharded = shard_batch(mesh, batch)
+        rng = replicate(mesh, jax.random.key(0))
+        state, metrics = step_fn(state, *sharded, rng)
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 1
