@@ -59,7 +59,9 @@ def frozen_paths_for(cfg: Config) -> Sequence[str]:
 
 
 def _is_frozen(path: str, frozen_prefixes: Sequence[str]) -> bool:
-    if any(path.startswith(p) for p in frozen_prefixes):
+    # Segment-exact prefix match: "backbone/conv2" must freeze conv2's
+    # kernel/bias but NOT conv21/conv24/conv28.
+    if any(path == p or path.startswith(p + "/") for p in frozen_prefixes):
         return True
     # FrozenBatchNorm statistics/affine params never train
     # (ref resnet.py:~280 eval-mode BN with requires_grad=False).

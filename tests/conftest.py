@@ -11,13 +11,20 @@ Env vars must be set before jax initialises, hence module scope.
 import os
 
 # Force, don't setdefault: the machine environment pins JAX_PLATFORMS=axon
-# (the tunneled TPU); tests must run on the local CPU backend.
+# (the tunneled TPU); tests must run on the local CPU backend.  The host's
+# sitecustomize (PYTHONPATH=/root/.axon_site) pre-imports jax before this
+# conftest runs, so setting os.environ["JAX_PLATFORMS"] alone is too late —
+# jax.config.update works as long as no backend has initialised yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 
