@@ -1,0 +1,137 @@
+"""Evaluation CLI: run detection over a dataset and report VOC AP@0.5.
+
+Rebuild of ref ``test_net.py`` (~230 LoC): load checkpoint -> batched
+jitted inference (backbone, RPN, head, per-class NMS all on device) ->
+``evaluate_detections`` -> per-class AP + mAP printout, detections
+artifact written as JSON (the reference pickles ``detections.pkl``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate Faster R-CNN (TPU)")
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--net", default="vgg16",
+                   choices=["vgg16", "res50", "res101", "res152", "tiny"])
+    p.add_argument("--load_dir", default="models",
+                   help="checkpoint root (save_dir of trainval)")
+    p.add_argument("--checkpoint_dataset", default=None,
+                   help="dataset name used at train time (defaults to "
+                        "--dataset)")
+    p.add_argument("--checkpoint_step", type=int, default=None)
+    p.add_argument("--bs", type=int, default=1)
+    p.add_argument("--use_07_metric", action="store_true")
+    p.add_argument("--dets_out", default=None,
+                   help="write detections JSON here")
+    p.add_argument("--num_devices", type=int, default=0)
+    p.add_argument("--set", dest="set_cfgs", nargs="*", default=[])
+    p.add_argument("--synth_images", type=int, default=8)
+    p.add_argument("--synth_size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"))
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+
+    from scda_tpu.cli.trainval import NET_TO_BACKBONE, NET_TO_PRESET
+    from scda_tpu.config import PRESETS, apply_overrides, replace_path
+
+    cfg = PRESETS[NET_TO_PRESET[args.net]]()
+    cfg = replace_path(cfg, "model.backbone", NET_TO_BACKBONE[args.net])
+    if args.synth_size:
+        cfg = replace_path(cfg, "data.image_size", tuple(args.synth_size))
+    overrides = dict(zip(args.set_cfgs[0::2], args.set_cfgs[1::2]))
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+
+    if args.dataset == "synthetic":
+        import tempfile
+
+        from scda_tpu.data.synthetic import make_synthetic_dataset
+
+        dataset = make_synthetic_dataset(
+            os.path.join(tempfile.gettempdir(), "scda_synth_val"),
+            num_images=args.synth_images, image_size=cfg.data.image_size,
+            seed=100, split="val",
+        )
+    else:
+        from scda_tpu.data.voc import get_dataset
+
+        dataset = get_dataset(args.dataset)
+
+    cfg = replace_path(cfg, "model.num_classes", dataset.num_classes)
+
+    import jax
+
+    from scda_tpu.evals.detect import evaluate_model, run_inference
+    from scda_tpu.models.faster_rcnn import build_model, init_params
+    from scda_tpu.train import checkpoint as ckpt
+    from scda_tpu.train.state import create_train_state
+
+    model = build_model(cfg.model, num_anchors=cfg.anchors.num_anchors)
+    params = init_params(model, jax.random.key(0), (1, 64, 96, 3))
+
+    ckpt_ds = args.checkpoint_dataset or dataset.name
+    save_dir = os.path.join(args.load_dir, args.net, ckpt_ds)
+    step = ckpt.latest_step(save_dir)
+    if step is not None:
+        template = create_train_state(cfg, params)
+        try:
+            restored = ckpt.restore_checkpoint(save_dir, template,
+                                               args.checkpoint_step)
+            params = restored.params
+            print(f"loaded checkpoint step {args.checkpoint_step or step} "
+                  f"from {save_dir}")
+        except Exception as e:
+            # SCDA checkpoints nest the detector state under .det.
+            from scda_tpu.adapt.scda import (
+                create_scda_state, init_discriminator,
+            )
+
+            d_model, d_params = init_discriminator(cfg, model,
+                                                   jax.random.key(1))
+            template = create_scda_state(cfg, template, d_params)
+            restored = ckpt.restore_checkpoint(save_dir, template,
+                                               args.checkpoint_step)
+            params = restored.det.params
+            print(f"loaded SCDA checkpoint from {save_dir}")
+    else:
+        print(f"WARNING: no checkpoint under {save_dir}; evaluating "
+              f"random init", file=sys.stderr)
+
+    all_dets, ips = run_inference(
+        model, params, dataset, cfg, batch_size=args.bs, progress=True,
+    )
+    from scda_tpu.evals.voc_eval import evaluate_detections
+
+    results = evaluate_detections(dataset, all_dets,
+                                  use_07_metric=args.use_07_metric)
+    results["images_per_sec"] = ips
+    print(json.dumps({"eval": {k: round(float(v), 4)
+                               for k, v in results.items()}}))
+    for cls in dataset.classes:
+        print(f"AP@0.5 {cls:16s} = {results[cls]:.4f}")
+    print(f"mAP@0.5 = {results['mAP']:.4f}  "
+          f"({results['images_per_sec']:.2f} img/s)")
+
+    if args.dets_out:
+        payload = {
+            cls: [[img, [float(x) for x in box], float(s)]
+                  for img, box, s in dets]
+            for cls, dets in all_dets.items()
+        }
+        with open(args.dets_out, "w") as f:
+            json.dump(payload, f)
+        print(f"detections -> {args.dets_out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,264 @@
+"""Training CLI: source-only Faster R-CNN and SCDA adaptation.
+
+Rebuild of ref ``trainval_net.py`` (~370 LoC) and the fork's adaptation
+trainer (SURVEY.md §3.1/3.2).  Flag names mirror the reference where
+sensible (--dataset/--net/--bs/--lr/--epochs/--lr_decay_step/--r/
+--disp_interval/--save_dir/--use_tfb/--set); the reference's ``--mGPUs``
+is replaced by automatic mesh sharding over all visible devices
+(``--num_devices`` to restrict).
+
+SCDA mode: pass ``--adapt --target_dataset <name>`` — the second
+(unlabeled) dataloader feeds the same jitted step (no interleaved
+src/tgt Python loop as in the reference).
+
+Smoke mode: ``--dataset synthetic`` generates the deterministic fixture
+dataset on the fly so the full pipeline runs with zero external data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train Faster R-CNN / SCDA (TPU)")
+    p.add_argument("--dataset", default="synthetic",
+                   help="registered dataset name, or 'synthetic'")
+    p.add_argument("--target_dataset", default=None,
+                   help="unlabeled target-domain dataset (SCDA)")
+    p.add_argument("--net", default="vgg16",
+                   choices=["vgg16", "res50", "res101", "res152", "tiny"])
+    p.add_argument("--adapt", action="store_true",
+                   help="SCDA adaptation training")
+    p.add_argument("--bs", type=int, default=1, help="images per step")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--lr_decay_step", type=int, default=None)
+    p.add_argument("--steps", type=int, default=0,
+                   help="cap total steps (0 = epochs * len(loader))")
+    p.add_argument("--disp_interval", type=int, default=None)
+    p.add_argument("--save_dir", default="models")
+    p.add_argument("--checkpoint_interval", type=int, default=0,
+                   help="steps between checkpoints (0 = per epoch)")
+    p.add_argument("--r", dest="resume", action="store_true",
+                   help="resume from latest checkpoint in save_dir")
+    p.add_argument("--pretrained", default=None,
+                   help="torch .pth backbone weights to convert+load")
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="mesh size (0 = all visible devices)")
+    p.add_argument("--use_tfb", action="store_true",
+                   help="also write TensorBoard summaries")
+    p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--set", dest="set_cfgs", nargs="*", default=[],
+                   help="config overrides: dotted.path value ...")
+    # Synthetic-mode knobs.
+    p.add_argument("--synth_images", type=int, default=16)
+    p.add_argument("--synth_size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"))
+    return p.parse_args(argv)
+
+
+NET_TO_PRESET = {"vgg16": "vgg16", "res50": "res101", "res101": "res101",
+                 "res152": "res101", "tiny": "vgg16"}
+NET_TO_BACKBONE = {"vgg16": "vgg16", "res50": "resnet50",
+                   "res101": "resnet101", "res152": "resnet152",
+                   "tiny": "tiny"}
+
+
+def build_config(args):
+    from scda_tpu.config import PRESETS, apply_overrides, replace_path
+
+    cfg = PRESETS[NET_TO_PRESET[args.net]]()
+    cfg = replace_path(cfg, "model.backbone", NET_TO_BACKBONE[args.net])
+    if args.lr is not None:
+        cfg = replace_path(cfg, "train.learning_rate", args.lr)
+    if args.epochs is not None:
+        cfg = replace_path(cfg, "train.max_epochs", args.epochs)
+    if args.lr_decay_step is not None:
+        cfg = replace_path(cfg, "train.lr_decay_step", args.lr_decay_step)
+    if args.disp_interval is not None:
+        cfg = replace_path(cfg, "train.disp_interval", args.disp_interval)
+    cfg = replace_path(cfg, "train.batch_size", args.bs)
+    cfg = replace_path(cfg, "train.seed", args.seed)
+    cfg = replace_path(cfg, "mesh.num_devices", args.num_devices)
+    if args.adapt:
+        cfg = replace_path(cfg, "adapt.enabled", True)
+    if args.synth_size:
+        cfg = replace_path(cfg, "data.image_size", tuple(args.synth_size))
+    overrides = dict(zip(args.set_cfgs[0::2], args.set_cfgs[1::2]))
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg
+
+
+def get_datasets(args, cfg):
+    from scda_tpu.data.voc import get_dataset
+
+    if args.dataset == "synthetic":
+        import tempfile
+
+        from scda_tpu.data.synthetic import make_synthetic_dataset
+
+        root = os.path.join(tempfile.gettempdir(), "scda_synth_train")
+        src = make_synthetic_dataset(
+            root, num_images=args.synth_images,
+            image_size=cfg.data.image_size, seed=0, split="train",
+        )
+        tgt = None
+        if args.adapt:
+            tgt = make_synthetic_dataset(
+                os.path.join(tempfile.gettempdir(), "scda_synth_tgt"),
+                num_images=args.synth_images,
+                image_size=cfg.data.image_size, seed=1, split="train",
+                fog=0.5,
+            )
+        return src, tgt
+
+    src = get_dataset(args.dataset)
+    tgt = get_dataset(args.target_dataset) if args.target_dataset else None
+    return src, tgt
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    cfg = build_config(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from scda_tpu.config import replace_path
+    from scda_tpu.data.pipeline import DataLoader
+    from scda_tpu.models.faster_rcnn import build_model, init_params
+    from scda_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from scda_tpu.train import checkpoint as ckpt
+    from scda_tpu.train.state import create_train_state
+    from scda_tpu.train.steps import make_train_step
+    from scda_tpu.utils.logging import MetricsLogger
+
+    src_ds, tgt_ds = get_datasets(args, cfg)
+    num_classes = src_ds.num_classes
+    cfg = replace_path(cfg, "model.num_classes", num_classes)
+    if args.adapt and tgt_ds is None:
+        print("--adapt requires --target_dataset (or synthetic)",
+              file=sys.stderr)
+        return 2
+
+    mesh = make_mesh(cfg.mesh)
+    n_dev = mesh.devices.size
+    if args.bs % n_dev:
+        print(f"batch size {args.bs} not divisible by mesh size {n_dev}",
+              file=sys.stderr)
+        return 2
+
+    print(f"dataset={src_ds.name} ({len(src_ds)} images, "
+          f"{num_classes - 1} fg classes), net={args.net}, "
+          f"mesh={n_dev} device(s), adapt={args.adapt}")
+
+    model = build_model(cfg.model, num_anchors=cfg.anchors.num_anchors)
+    params = init_params(model, jax.random.key(cfg.train.seed), (1, 64, 96, 3))
+    if args.pretrained:
+        from scda_tpu.train.torch_convert import load_pretrained_backbone
+
+        params = load_pretrained_backbone(params, args.pretrained,
+                                          cfg.model.backbone)
+        print(f"loaded pretrained backbone from {args.pretrained}")
+
+    loader = DataLoader(src_ds, cfg.data, args.bs, seed=cfg.train.seed)
+    steps_per_epoch = len(loader)
+    total_steps = args.steps or steps_per_epoch * cfg.train.max_epochs
+
+    det_state = create_train_state(cfg, params, steps_per_epoch)
+
+    if args.adapt:
+        from scda_tpu.adapt.scda import (
+            create_scda_state, init_discriminator, make_scda_train_step,
+        )
+
+        d_model, d_params = init_discriminator(
+            cfg, model, jax.random.key(cfg.train.seed + 1))
+        state = create_scda_state(cfg, det_state, d_params)
+        step_fn = make_scda_train_step(model, d_model, cfg, mesh=mesh)
+        tgt_loader = DataLoader(tgt_ds, cfg.data, args.bs,
+                                seed=cfg.train.seed + 7)
+        tgt_iter = iter(tgt_loader.repeat())
+    else:
+        state = det_state
+        step_fn = make_train_step(model, cfg, mesh=mesh)
+        tgt_iter = None
+
+    save_dir = os.path.join(args.save_dir, args.net, src_ds.name)
+    if args.resume:
+        step0 = ckpt.latest_step(save_dir)
+        if step0 is not None:
+            state = ckpt.restore_checkpoint(save_dir, state)
+            print(f"resumed from step {step0}")
+
+    state = replicate(mesh, state)
+    base_rng = replicate(mesh, jax.random.key(cfg.train.seed))
+
+    logger = MetricsLogger(
+        log_file=os.path.join(save_dir, "metrics.jsonl")
+        if args.save_dir else None,
+        tensorboard_dir=os.path.join(save_dir, "tb") if args.use_tfb
+        else None,
+    )
+    ckpt_every = args.checkpoint_interval or steps_per_epoch
+
+    step = int(jax.device_get(state.step))
+    start_step = step
+    done = False
+    # Steps are dispatched async; throughput is measured over each display
+    # window, where the metrics fetch forces a device sync.
+    win_t0 = time.perf_counter()
+    win_step0 = step
+    t_train0, first_sync_step = None, None
+    while not done:
+        for batch in loader:
+            if step >= total_steps:
+                done = True
+                break
+            sb = shard_batch(mesh, (batch.image, batch.im_info,
+                                    batch.gt_boxes, batch.num_boxes))
+            if args.adapt:
+                tb = next(tgt_iter)
+                tgt_sb = shard_batch(mesh, (tb.image, tb.im_info))
+                state, metrics = step_fn(state, *sb, *tgt_sb, base_rng)
+            else:
+                state, metrics = step_fn(state, *sb, base_rng)
+            step += 1
+            if step % cfg.train.disp_interval == 0 or step == 1:
+                m = {k: float(v) for k, v in
+                     jax.device_get(metrics).items()}  # <- sync point
+                now = time.perf_counter()
+                if step > win_step0:
+                    m["img_per_sec"] = (
+                        (step - win_step0) * args.bs / (now - win_t0)
+                    )
+                win_t0, win_step0 = now, step
+                if t_train0 is None:
+                    # Exclude the compile (first sync) from the average.
+                    t_train0, first_sync_step = now, step
+                logger.log(step, m)
+            if step % ckpt_every == 0 or step == total_steps:
+                path = ckpt.save_checkpoint(save_dir, state, step)
+                print(f"checkpoint -> {path}", flush=True)
+    jax.block_until_ready(state.step)
+    logger.close()
+    if t_train0 is not None and step > first_sync_step:
+        avg = (step - first_sync_step) * args.bs / (
+            time.perf_counter() - t_train0)
+        print(f"done: {step - start_step} steps, avg {avg:.2f} img/s "
+              f"(excl. compile)")
+    else:
+        print(f"done: {step - start_step} steps")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

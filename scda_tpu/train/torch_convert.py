@@ -1,0 +1,165 @@
+"""Torch state-dict -> Flax params converter for pretrained backbones.
+
+Rebuild of the reference's pretrained-weight loading
+(ref lib/model/faster_rcnn/vgg16.py:~40 ``vgg.load_state_dict(torch.load(
+self.model_path))`` and resnet.py:~230): the reference loads caffe-lineage
+``.pth`` files (``vgg16_caffe.pth``, ``resnet101_caffe.pth``) whose inputs
+are BGR 0-255 mean-subtracted images — exactly what
+:mod:`scda_tpu.data.pipeline` produces — so converted weights drop in
+unchanged.
+
+Layout conversions (torch -> flax/NHWC):
+  * Conv weight  (O, I, kH, kW) -> kernel (kH, kW, I, O)
+  * Linear weight (O, I)        -> kernel (I, O)
+  * BatchNorm (weight, bias, running_mean, running_var)
+        -> FrozenBatchNorm (scale, bias, mean, var)
+
+The VGG16 flax module names its convs ``conv{torch_index}`` and the head
+``fc6``/``fc7`` to make this mapping 1:1 (models/backbones/vgg.py); the
+ResNet module mirrors torchvision's ``layerL.B`` as ``layerL/blockB``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from scda_tpu.models.backbones.vgg import VGG16_LAYOUT
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(np.asarray(w, np.float32), (2, 3, 1, 0))
+
+
+def _linear_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(np.asarray(w, np.float32), (1, 0))
+
+
+def _f32(x) -> np.ndarray:
+    return np.asarray(x, np.float32)
+
+
+def convert_vgg16(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """torchvision/caffe VGG16 state dict -> {'backbone': .., 'head': ..}.
+
+    Accepts both bare-VGG keys (``features.0.weight``) and the
+    classifier keys (``classifier.0.*`` fc6, ``classifier.3.*`` fc7).
+    """
+    sd = {k: v for k, v in state_dict.items()}
+    backbone: Dict[str, Any] = {}
+    for item in VGG16_LAYOUT:
+        if item == "M":
+            continue
+        idx, _ = item
+        backbone[f"conv{idx}"] = {
+            "kernel": _conv_kernel(sd[f"features.{idx}.weight"]),
+            "bias": _f32(sd[f"features.{idx}.bias"]),
+        }
+    head: Dict[str, Any] = {}
+    if "classifier.0.weight" in sd:
+        head["fc6"] = {
+            "kernel": _linear_kernel(sd["classifier.0.weight"]),
+            "bias": _f32(sd["classifier.0.bias"]),
+        }
+        head["fc7"] = {
+            "kernel": _linear_kernel(sd["classifier.3.weight"]),
+            "bias": _f32(sd["classifier.3.bias"]),
+        }
+    return {"backbone": backbone, "head": head}
+
+
+def _convert_bn(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    return {
+        "scale": _f32(sd[f"{prefix}.weight"]),
+        "bias": _f32(sd[f"{prefix}.bias"]),
+        "mean": _f32(sd[f"{prefix}.running_mean"]),
+        "var": _f32(sd[f"{prefix}.running_var"]),
+    }
+
+
+def _convert_bottleneck(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for i in (1, 2, 3):
+        out[f"conv{i}"] = {"kernel": _conv_kernel(sd[f"{prefix}.conv{i}.weight"])}
+        out[f"bn{i}"] = _convert_bn(sd, f"{prefix}.bn{i}")
+    if f"{prefix}.downsample.0.weight" in sd:
+        out["downsample_conv"] = {
+            "kernel": _conv_kernel(sd[f"{prefix}.downsample.0.weight"])
+        }
+        # torchvision names the BN inside downsample as index 1.
+        out["downsample_bn"] = _convert_bn(sd, f"{prefix}.downsample.1")
+    return out
+
+
+def convert_resnet(
+    state_dict: Mapping[str, Any], depth: int = 101
+) -> Dict[str, Any]:
+    """torchvision ResNet state dict -> {'backbone': .., 'head': ..}."""
+    from scda_tpu.models.backbones.resnet import RESNET_DEPTHS
+
+    sd = {k: v for k, v in state_dict.items()}
+    blocks = RESNET_DEPTHS[depth]
+    backbone: Dict[str, Any] = {
+        "conv1": {"kernel": _conv_kernel(sd["conv1.weight"])},
+        "bn1": _convert_bn(sd, "bn1"),
+    }
+    for li, n in enumerate(blocks[:3], start=1):
+        stage: Dict[str, Any] = {}
+        for bi in range(n):
+            stage[f"block{bi}"] = _convert_bottleneck(sd, f"layer{li}.{bi}")
+        backbone[f"layer{li}"] = stage
+    head_stage: Dict[str, Any] = {}
+    for bi in range(blocks[3]):
+        head_stage[f"block{bi}"] = _convert_bottleneck(sd, f"layer4.{bi}")
+    return {"backbone": backbone, "head": {"layer4": head_stage}}
+
+
+def _merge(dst: Dict[str, Any], src: Mapping[str, Any], path: str = ""):
+    """Recursively copy src leaves into dst, checking shapes."""
+    for k, v in src.items():
+        if k not in dst:
+            raise KeyError(f"converted param {path}/{k} not in model params")
+        if isinstance(v, Mapping):
+            _merge(dst[k], v, f"{path}/{k}")
+        else:
+            have = np.shape(dst[k])
+            want = np.shape(v)
+            if have != want:
+                raise ValueError(
+                    f"shape mismatch at {path}/{k}: model {have}, torch {want}"
+                )
+            dst[k] = np.asarray(v, np.float32)
+
+
+def load_pretrained_backbone(
+    params: Dict[str, Any], checkpoint_path: str, backbone: str
+) -> Dict[str, Any]:
+    """Merge a torch ``.pth`` backbone checkpoint into initialised flax
+    params (RPN/RCNN heads keep their fresh init — ref _init_modules)."""
+    import torch
+
+    sd = torch.load(checkpoint_path, map_location="cpu",
+                    weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+
+    if backbone == "vgg16":
+        converted = convert_vgg16(sd)
+    elif backbone.startswith("resnet"):
+        converted = convert_resnet(sd, int(backbone.replace("resnet", "")))
+    else:
+        raise ValueError(f"no converter for backbone {backbone!r}")
+
+    out = jax_tree_to_mutable(params)
+    _merge(out, converted)
+    return out
+
+
+def jax_tree_to_mutable(tree):
+    if isinstance(tree, Mapping):
+        return {k: jax_tree_to_mutable(v) for k, v in tree.items()}
+    return tree

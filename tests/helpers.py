@@ -5,8 +5,9 @@ import dataclasses
 import numpy as np
 
 from scda_tpu.config import (
-    AdaptConfig, Config, DataConfig, ModelConfig, ProposalConfig,
-    ROITargetConfig, RPNTargetConfig, TestConfig, TrainConfig,
+    AdaptConfig, AnchorConfig, Config, DataConfig, ModelConfig,
+    ProposalConfig, ROITargetConfig, RPNTargetConfig, TestConfig,
+    TrainConfig,
 )
 
 
@@ -45,6 +46,10 @@ def tiny_config(num_classes: int = 5, backbone: str = "tiny",
         adapt=AdaptConfig(
             enabled=adapt, num_groups=4, mining_top_n=32, kmeans_iters=4,
         ),
+        # Default anchors (128-512 px) never fit inside the 128x192 test
+        # canvas (no anchor is fully inside -> RPN gets zero targets);
+        # scale them to the canvas.
+        anchors=AnchorConfig(scales=(2.0, 4.0, 8.0)),
     )
 
 

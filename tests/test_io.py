@@ -1,0 +1,217 @@
+"""Tests for checkpointing, the torch->flax converter, and CLI smoke.
+
+The reference's only I/O correctness story was "it trains when you rerun
+it" (SURVEY.md §4); these pin: checkpoint save/restore round-trip
+equality, converter layout math vs a torch-CPU forward oracle, and the
+trainval CLI end-to-end as a subprocess.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from helpers import synthetic_batch, tiny_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestCheckpoint:
+    def test_roundtrip_preserves_state(self, tmp_path, rng):
+        from scda_tpu.models.faster_rcnn import build_model, init_params
+        from scda_tpu.train import checkpoint as ckpt
+        from scda_tpu.train.state import create_train_state
+
+        cfg = tiny_config()
+        model = build_model(cfg.model)
+        params = init_params(model, jax.random.key(0), (1, 64, 96, 3))
+        state = create_train_state(cfg, params)
+
+        path = ckpt.save_checkpoint(str(tmp_path), state, 7)
+        assert os.path.isdir(path)
+        assert ckpt.latest_step(str(tmp_path)) == 7
+
+        template = create_train_state(cfg, init_params(
+            model, jax.random.key(1), (1, 64, 96, 3)))
+        restored = ckpt.restore_checkpoint(str(tmp_path), template)
+        jax.tree_util.tree_map(
+            np.testing.assert_array_equal,
+            jax.device_get(state.params), restored.params,
+        )
+        assert int(restored.step) == int(state.step)
+
+    def test_prune_keeps_latest(self, tmp_path):
+        from scda_tpu.train import checkpoint as ckpt
+
+        state = {"x": np.arange(3)}
+        for s in range(1, 8):
+            ckpt.save_checkpoint(str(tmp_path), state, s, keep=3)
+        steps = sorted(
+            int(d.split("_")[1]) for d in os.listdir(tmp_path)
+            if d.startswith("ckpt_")
+        )
+        assert steps == [5, 6, 7]
+
+
+class TestTorchConvert:
+    def test_vgg16_forward_matches_torch(self, rng):
+        """Converted conv weights must reproduce torch's conv outputs
+        (layout transpose sanity, ref vgg16 conv1_1)."""
+        import torch
+        import torch.nn.functional as F
+
+        from scda_tpu.train.torch_convert import _conv_kernel, _linear_kernel
+
+        x = rng.randn(1, 3, 8, 8).astype(np.float32)
+        w = rng.randn(4, 3, 3, 3).astype(np.float32)
+        b = rng.randn(4).astype(np.float32)
+
+        ref = F.conv2d(torch.tensor(x), torch.tensor(w), torch.tensor(b),
+                       padding=1).numpy()
+
+        kernel = jnp.asarray(_conv_kernel(w))
+        out = jax.lax.conv_general_dilated(
+            jnp.asarray(np.transpose(x, (0, 2, 3, 1))), kernel,
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.asarray(b)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(out), (0, 3, 1, 2)), ref,
+            rtol=1e-4, atol=1e-4,
+        )
+
+        wl = rng.randn(5, 7).astype(np.float32)
+        xl = rng.randn(2, 7).astype(np.float32)
+        ref_l = (torch.tensor(xl) @ torch.tensor(wl).T).numpy()
+        out_l = np.asarray(jnp.asarray(xl) @ jnp.asarray(_linear_kernel(wl)))
+        np.testing.assert_allclose(out_l, ref_l, rtol=1e-4, atol=1e-4)
+
+    def test_vgg16_state_dict_merges_into_model(self, tmp_path, rng):
+        import torch
+
+        from scda_tpu.models.backbones.vgg import VGG16_LAYOUT
+        from scda_tpu.models.faster_rcnn import build_model, init_params
+        from scda_tpu.train.torch_convert import load_pretrained_backbone
+
+        # Build a fake torchvision-layout VGG16 state dict.
+        sd = {}
+        in_ch = 3
+        for item in VGG16_LAYOUT:
+            if item == "M":
+                continue
+            idx, ch = item
+            sd[f"features.{idx}.weight"] = torch.randn(ch, in_ch, 3, 3)
+            sd[f"features.{idx}.bias"] = torch.randn(ch)
+            in_ch = ch
+        sd["classifier.0.weight"] = torch.randn(4096, 512 * 7 * 7)
+        sd["classifier.0.bias"] = torch.randn(4096)
+        sd["classifier.3.weight"] = torch.randn(4096, 4096)
+        sd["classifier.3.bias"] = torch.randn(4096)
+        path = os.path.join(tmp_path, "vgg16_fake.pth")
+        torch.save(sd, path)
+
+        cfg = tiny_config(backbone="vgg16")
+        model = build_model(cfg.model)
+        params = init_params(model, jax.random.key(0), (1, 64, 96, 3))
+        merged = load_pretrained_backbone(params, path, "vgg16")
+
+        np.testing.assert_allclose(
+            merged["backbone"]["conv0"]["kernel"],
+            np.transpose(sd["features.0.weight"].numpy(), (2, 3, 1, 0)),
+        )
+        np.testing.assert_allclose(
+            merged["head"]["fc6"]["kernel"],
+            sd["classifier.0.weight"].numpy().T,
+        )
+        # Non-backbone params untouched.
+        np.testing.assert_array_equal(
+            merged["cls_score"]["kernel"], params["cls_score"]["kernel"]
+        )
+
+    def test_resnet_state_dict_merges(self, tmp_path, rng):
+        import torch
+
+        from scda_tpu.models.faster_rcnn import build_model, init_params
+        from scda_tpu.train.torch_convert import load_pretrained_backbone
+
+        def bn(prefix, ch, sd):
+            sd[f"{prefix}.weight"] = torch.randn(ch)
+            sd[f"{prefix}.bias"] = torch.randn(ch)
+            sd[f"{prefix}.running_mean"] = torch.randn(ch)
+            sd[f"{prefix}.running_var"] = torch.rand(ch) + 0.5
+
+        sd = {"conv1.weight": torch.randn(64, 3, 7, 7)}
+        bn("bn1", 64, sd)
+        blocks = (3, 4, 6, 3)  # resnet50
+        in_ch = 64
+        for li, (n, f) in enumerate(zip(blocks, (64, 128, 256, 512)),
+                                    start=1):
+            for bi in range(n):
+                pre = f"layer{li}.{bi}"
+                c_in = in_ch if bi == 0 else f * 4
+                sd[f"{pre}.conv1.weight"] = torch.randn(f, c_in, 1, 1)
+                bn(f"{pre}.bn1", f, sd)
+                sd[f"{pre}.conv2.weight"] = torch.randn(f, f, 3, 3)
+                bn(f"{pre}.bn2", f, sd)
+                sd[f"{pre}.conv3.weight"] = torch.randn(f * 4, f, 1, 1)
+                bn(f"{pre}.bn3", f * 4, sd)
+                if bi == 0:
+                    sd[f"{pre}.downsample.0.weight"] = torch.randn(
+                        f * 4, c_in, 1, 1)
+                    bn(f"{pre}.downsample.1", f * 4, sd)
+            in_ch = f * 4
+        path = os.path.join(tmp_path, "res50_fake.pth")
+        torch.save(sd, path)
+
+        cfg = tiny_config(backbone="resnet50")
+        model = build_model(cfg.model)
+        params = init_params(model, jax.random.key(0), (1, 64, 96, 3))
+        merged = load_pretrained_backbone(params, path, "resnet50")
+        np.testing.assert_allclose(
+            merged["backbone"]["layer1"]["block0"]["conv2"]["kernel"],
+            np.transpose(sd["layer1.0.conv2.weight"].numpy(), (2, 3, 1, 0)),
+        )
+        np.testing.assert_allclose(
+            merged["head"]["layer4"]["block0"]["downsample_bn"]["mean"],
+            sd["layer4.0.downsample.1.running_mean"].numpy(),
+        )
+
+
+class TestCliSmoke:
+    def test_trainval_then_eval(self, tmp_path):
+        env = dict(os.environ, SCDA_PLATFORM="cpu", PYTHONPATH=REPO)
+        common = [
+            "--dataset", "synthetic", "--net", "tiny",
+            "--synth_size", "64", "96", "--synth_images", "4",
+            "--num_devices", "1",  # conftest's XLA_FLAGS fakes 8 devices
+        ]
+        overrides = [
+            "--set", "train.proposal.pre_nms_top_n", "64",
+            "train.proposal.post_nms_top_n", "16",
+            "train.rpn_target.batch_size", "32",
+            "train.roi_target.batch_size", "16",
+            "data.max_gt_boxes", "4", "anchors.scales", "1 2 4",
+            "test.proposal.pre_nms_top_n", "64",
+            "test.proposal.post_nms_top_n", "16",
+            "test.max_dets_per_class", "4", "test.max_per_image", "8",
+        ]
+        r = subprocess.run(
+            [sys.executable, "-m", "scda_tpu.cli.trainval", *common,
+             "--bs", "2", "--steps", "2", "--disp_interval", "1",
+             "--save_dir", str(tmp_path), *overrides],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "checkpoint ->" in r.stdout
+
+        r2 = subprocess.run(
+            [sys.executable, "-m", "scda_tpu.cli.test_net", *common,
+             "--load_dir", str(tmp_path), *overrides],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=420,
+        )
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        assert "mAP@0.5" in r2.stdout

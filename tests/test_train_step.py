@@ -56,6 +56,10 @@ class TestTrainStep:
                   "fg_cnt", "bg_cnt"):
             assert k in metrics
         assert float(metrics["fg_cnt"]) >= 1
+        # A dead RPN (no anchor fully inside the canvas -> all labels -1)
+        # yields exactly-zero rpn losses; guard against it.
+        assert float(metrics["rpn_cls"]) > 0.0
+        assert float(metrics["rpn_box"]) > 0.0
 
     def test_frozen_params_do_not_move(self, rng):
         # VGG16 conv1-2 must stay frozen under the optimizer mask.
