@@ -124,10 +124,9 @@ def scda_forward(
 
     def pooled_patches(feat, mined):
         b, k, _ = mined.boxes.shape
-        flat = mined.boxes.reshape(b * k, 4)
-        bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
         patches = pool_rois(
-            feat, flat, bidx, cfg.model, output_size=ac.region_pool_size
+            feat, mined.boxes, None, cfg.model,
+            output_size=ac.region_pool_size,
         )
         return (
             patches.astype(jnp.float32),

@@ -59,6 +59,25 @@ def load_image(record: ImageRecord) -> np.ndarray:
     return rgb[:, :, ::-1]  # RGB -> BGR (caffe convention)
 
 
+def _resize_bilinear_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Classic half-pixel bilinear resize (cv2 INTER_LINEAR semantics,
+    the reference's resize; ref blob.py uses cv2.resize).  Same math as
+    the native C++ kernel — equality is pinned in tests."""
+    sh, sw = img.shape[:2]
+    fy = np.clip((np.arange(out_h) + 0.5) * (sh / out_h) - 0.5, 0, sh - 1)
+    fx = np.clip((np.arange(out_w) + 0.5) * (sw / out_w) - 0.5, 0, sw - 1)
+    y0 = fy.astype(np.int64)
+    x0 = fx.astype(np.int64)
+    y1 = np.minimum(y0 + 1, sh - 1)
+    x1 = np.minimum(x0 + 1, sw - 1)
+    ly = (fy - y0).astype(np.float32)[:, None, None]
+    lx = (fx - x0).astype(np.float32)[None, :, None]
+    img = img.astype(np.float32)
+    top = img[y0][:, x0] * (1 - lx) + img[y0][:, x1] * lx
+    bot = img[y1][:, x0] * (1 - lx) + img[y1][:, x1] * lx
+    return top * (1 - ly) + bot * ly
+
+
 def prepare_image(
     img_bgr: np.ndarray,
     cfg: DataConfig,
@@ -66,10 +85,11 @@ def prepare_image(
 ) -> Tuple[np.ndarray, float, Tuple[int, int]]:
     """Scale + mean-subtract + paste into the fixed canvas.
 
+    Uses the native C++ prep kernel (scda_tpu.native) when available;
+    the numpy fallback computes identical math.
+
     Returns (canvas (H, W, 3) float32, scale, (valid_h, valid_w)).
     """
-    from PIL import Image
-
     h, w = img_bgr.shape[:2]
     canvas_h, canvas_w = cfg.image_size
     scale = compute_scale(h, w, cfg.scale, cfg.max_size)
@@ -77,16 +97,22 @@ def prepare_image(
     scale = min(scale, canvas_h / h, canvas_w / w)
     new_h, new_w = int(round(h * scale)), int(round(w * scale))
 
+    from scda_tpu import native
+
+    if native.available():
+        canvas = native.prep_image_native(
+            np.ascontiguousarray(img_bgr, np.float32),
+            (canvas_h, canvas_w), (new_h, new_w),
+            np.asarray(cfg.pixel_means, np.float32), flip,
+        )
+        return canvas, scale, (new_h, new_w)
+
     if flip:
         img_bgr = img_bgr[:, ::-1, :]
-
     if (new_h, new_w) != (h, w):
-        im = Image.fromarray(img_bgr.astype(np.uint8)[:, :, ::-1])
-        im = im.resize((new_w, new_h), Image.BILINEAR)
-        resized = np.asarray(im, dtype=np.float32)[:, :, ::-1]
+        resized = _resize_bilinear_np(img_bgr, new_h, new_w)
     else:
         resized = img_bgr.astype(np.float32)
-
     resized = resized - np.asarray(cfg.pixel_means, np.float32)
 
     canvas = np.zeros((canvas_h, canvas_w, 3), np.float32)

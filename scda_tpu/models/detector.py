@@ -132,9 +132,7 @@ def forward_train(
     )
 
     bs, s = samples.labels.shape
-    flat_rois = samples.rois.reshape(bs * s, 4)
-    batch_idx = jnp.repeat(jnp.arange(bs, dtype=jnp.int32), s)
-    pooled = pool_rois(feat, flat_rois, batch_idx, mc)
+    pooled = pool_rois(feat, samples.rois, None, mc)  # grouped MXU path
 
     cls_logits, bbox_deltas = model.apply(
         {"params": params}, pooled, True,
@@ -194,9 +192,7 @@ def forward_inference(
     props = propose(rpn_cls, rpn_bbox, anchors, im_info, tc.proposal)
 
     b, n, _ = props.boxes.shape
-    flat_rois = props.boxes.reshape(b * n, 4)
-    batch_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
-    pooled = pool_rois(feat, flat_rois, batch_idx, mc)
+    pooled = pool_rois(feat, props.boxes, None, mc)  # grouped MXU path
     cls_logits, bbox_deltas = model.apply(
         {"params": params}, pooled, False, method=FasterRCNN.roi_head
     )
@@ -227,27 +223,36 @@ def forward_inference(
             props.boxes[:, :, None, :], (b, n, num_classes, 4)
         )
 
-    # Per-class NMS over foreground classes (skip background 0).
+    # Per-class NMS over foreground classes (skip background 0).  The
+    # (B, C) problem flattens to one batch axis so a single batched_nms
+    # call covers it (no vmap around the pallas kernel).
     fg_classes = num_classes - 1
     cls_boxes = jnp.transpose(boxes[:, :, 1:, :], (0, 2, 1, 3))
     cls_scores = jnp.transpose(probs[:, :, 1:], (0, 2, 1))
     cand_valid = props.valid[:, None, :] & (cls_scores > tc.score_thresh)
 
-    def per_image(boxes_i, scores_i, valid_i):
-        res = batched_nms(
-            boxes_i, scores_i,
-            iou_threshold=tc.nms_thresh,
-            max_output=tc.max_dets_per_class,
-            valid=valid_i,
-        )  # over (C,) classes
-        kept_boxes = jnp.take_along_axis(
-            boxes_i, res.indices[..., None], axis=1
-        )
-        kept_scores = jnp.take_along_axis(scores_i, res.indices, axis=1)
-        kept_scores = jnp.where(res.valid, kept_scores, -1.0)
+    bc = b * fg_classes
+    res = batched_nms(
+        cls_boxes.reshape(bc, n, 4),
+        cls_scores.reshape(bc, n),
+        iou_threshold=tc.nms_thresh,
+        max_output=tc.max_dets_per_class,
+        valid=cand_valid.reshape(bc, n),
+    )
+    kept_boxes = jnp.take_along_axis(
+        cls_boxes.reshape(bc, n, 4), res.indices[..., None], axis=1
+    ).reshape(b, fg_classes, tc.max_dets_per_class, 4)
+    kept_scores = jnp.take_along_axis(
+        cls_scores.reshape(bc, n), res.indices, axis=1
+    )
+    kept_scores = jnp.where(res.valid, kept_scores, -1.0).reshape(
+        b, fg_classes, tc.max_dets_per_class
+    )
+
+    def per_image(kept_boxes_i, kept_scores_i):
         d = fg_classes * tc.max_dets_per_class
-        flat_boxes = kept_boxes.reshape(d, 4)
-        flat_scores = kept_scores.reshape(d)
+        flat_boxes = kept_boxes_i.reshape(d, 4)
+        flat_scores = kept_scores_i.reshape(d)
         flat_classes = jnp.repeat(
             jnp.arange(1, num_classes, dtype=jnp.int32),
             tc.max_dets_per_class,
@@ -263,7 +268,7 @@ def forward_inference(
             top_scores > 0,
         )
 
-    db, ds, dc, dv = jax.vmap(per_image)(cls_boxes, cls_scores, cand_valid)
+    db, ds, dc, dv = jax.vmap(per_image)(kept_boxes, kept_scores)
     # Back to original image coordinates.
     db = db / im_info[:, 2][:, None, None]
     return Detections(boxes=db, scores=ds, classes=dc, valid=dv)

@@ -21,7 +21,7 @@ from scda_tpu.config import ModelConfig
 from scda_tpu.models.backbones.resnet import ResNetBackbone, ResNetC4Head
 from scda_tpu.models.backbones.vgg import VGG16Backbone, VGG16Head
 from scda_tpu.models.rpn import RPNHead
-from scda_tpu.ops.roi_ops import roi_align, roi_pool
+from scda_tpu.ops.roi_ops import roi_align, roi_align_grouped, roi_pool
 
 
 def _normal_init(stddev: float):
@@ -120,16 +120,31 @@ class FasterRCNN(nn.Module):
 def pool_rois(
     feat: jnp.ndarray,
     rois: jnp.ndarray,
-    batch_indices: jnp.ndarray,
+    batch_indices: jnp.ndarray | None,
     cfg: ModelConfig,
     *,
     output_size: int | None = None,
 ) -> jnp.ndarray:
     """Dispatch on cfg.pooling_mode (ref faster_rcnn.py:~95: the
     align/pool/crop switch; crop mode is intentionally dropped — align
-    subsumes it, SURVEY.md §2a)."""
+    subsumes it, SURVEY.md §2a).
+
+    ``rois`` may be per-image grouped (B, R, 4) — the fast path: align
+    mode then runs as MXU contractions (roi_align_grouped) instead of
+    gathers.  Flat (R, 4) + batch_indices is also accepted.  Output is
+    always flat (R_total, P, P, C) for the RoI head.
+    """
     p = output_size or cfg.pooling_size
+    grouped = rois.ndim == 3
     if cfg.pooling_mode == "align":
+        if grouped:
+            out = roi_align_grouped(
+                feat, rois,
+                output_size=p,
+                spatial_scale=1.0 / cfg.feat_stride,
+                sampling_ratio=cfg.sampling_ratio,
+            )
+            return out.reshape((-1,) + out.shape[2:])
         return roi_align(
             feat, rois, batch_indices,
             output_size=p,
@@ -137,6 +152,10 @@ def pool_rois(
             sampling_ratio=cfg.sampling_ratio,
         )
     if cfg.pooling_mode == "pool":
+        if grouped:
+            b, r, _ = rois.shape
+            batch_indices = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+            rois = rois.reshape(b * r, 4)
         return roi_pool(
             feat, rois, batch_indices,
             output_size=p,

@@ -26,7 +26,7 @@ from flax import linen as nn
 
 from scda_tpu.config import ProposalConfig
 from scda_tpu.core import boxes as box_ops
-from scda_tpu.ops.nms import nms
+from scda_tpu.ops.nms import batched_nms
 
 
 class RPNHead(nn.Module):
@@ -82,7 +82,7 @@ def propose(
     scores = jax.nn.softmax(rpn_cls_logits, axis=-1)[..., 1].reshape(b, k)
     deltas = rpn_bbox_pred.reshape(b, k, 4)
 
-    def one_image(scores_i, deltas_i, info_i):
+    def decode_one(scores_i, deltas_i, info_i):
         boxes = box_ops.bbox_transform_inv(anchors, deltas_i)
         boxes = box_ops.clip_boxes(boxes, info_i[0], info_i[1])
 
@@ -98,19 +98,18 @@ def propose(
         top_scores, top_idx = jax.lax.top_k(scores_i, pre_n)
         top_boxes = jnp.take(boxes, top_idx, axis=0)
         top_valid = top_scores > -1e29
+        return top_boxes, top_scores, top_valid
 
-        res = nms(
-            top_boxes,
-            top_scores,
-            iou_threshold=cfg.nms_thresh,
-            max_output=cfg.post_nms_top_n,
-            valid=top_valid,
-        )
-        out_boxes = jnp.take(top_boxes, res.indices, axis=0)
-        out_scores = jnp.take(top_scores, res.indices, axis=0)
-        out_boxes = jnp.where(res.valid[:, None], out_boxes, 0.0)
-        out_scores = jnp.where(res.valid, out_scores, 0.0)
-        return out_boxes, out_scores, res.valid
-
-    ob, os_, ov = jax.vmap(one_image)(scores, deltas, im_info)
-    return Proposals(boxes=ob, scores=os_, valid=ov)
+    # Decode/filter/top-k vmaps; NMS runs OUTSIDE the vmap so the pallas
+    # backend sees the batch as its own grid dimension (vmapping
+    # pallas_call would break its sequential-scratch contract).
+    tb, ts, tv = jax.vmap(decode_one)(scores, deltas, im_info)
+    res = batched_nms(
+        tb, ts, iou_threshold=cfg.nms_thresh,
+        max_output=cfg.post_nms_top_n, valid=tv,
+    )
+    out_boxes = jnp.take_along_axis(tb, res.indices[..., None], axis=1)
+    out_scores = jnp.take_along_axis(ts, res.indices, axis=1)
+    out_boxes = jnp.where(res.valid[..., None], out_boxes, 0.0)
+    out_scores = jnp.where(res.valid, out_scores, 0.0)
+    return Proposals(boxes=out_boxes, scores=out_scores, valid=res.valid)

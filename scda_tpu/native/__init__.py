@@ -1,0 +1,122 @@
+"""ctypes loader for the native host-side data-prep library.
+
+Builds ``libscda_prep.so`` from prep.cc on first use (cached next to the
+source; rebuilt when the source is newer), exposing:
+
+  * :func:`prep_image_native` — bilinear resize + mean-subtract + canvas
+    paste + optional flip (the reference's cv2-based prep_im_for_blob hot
+    path, ref lib/model/utils/blob.py:~40);
+  * :func:`bbox_overlaps_native` — pairwise IoU for host-side eval
+    (ref lib/model/utils/bbox.pyx).
+
+``available()`` is False (and every call raises) when no C++ toolchain
+exists or SCDA_NATIVE=0; callers fall back to the numpy implementations
+in :mod:`scda_tpu.data.pipeline` / :mod:`scda_tpu.evals.voc_eval`, which
+compute the *same* math (tests pin equality).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "prep.cc")
+_LIB_PATH = os.path.join(_HERE, "libscda_prep.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmds = [
+        ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", _SRC,
+         "-o", _LIB_PATH],
+        # Fallback without OpenMP.
+        ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB_PATH],
+    ]
+    for cmd in cmds:
+        try:
+            r = subprocess.run(cmd, capture_output=True, timeout=120)
+            if r.returncode == 0:
+                return True
+        except (OSError, subprocess.TimeoutExpired):
+            return False
+    return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("SCDA_NATIVE", "1") == "0":
+            return None
+        try:
+            stale = (
+                not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
+            )
+            if stale and not _build():
+                return None
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.prep_image.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int,
+            f32p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            f32p, ctypes.c_int,
+        ]
+        lib.prep_image.restype = None
+        lib.bbox_overlaps.argtypes = [
+            f32p, ctypes.c_int, f32p, ctypes.c_int, f32p,
+        ]
+        lib.bbox_overlaps.restype = None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def prep_image_native(
+    img: np.ndarray,            # (H, W, 3) float32 BGR
+    canvas_hw: Tuple[int, int],
+    out_hw: Tuple[int, int],
+    mean: np.ndarray,           # (3,) float32
+    flip: bool = False,
+) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native prep library unavailable")
+    img = np.ascontiguousarray(img, np.float32)
+    mean = np.ascontiguousarray(mean, np.float32)
+    canvas = np.empty((canvas_hw[0], canvas_hw[1], 3), np.float32)
+    lib.prep_image(
+        img, img.shape[0], img.shape[1],
+        canvas, canvas_hw[0], canvas_hw[1],
+        out_hw[0], out_hw[1], mean, int(flip),
+    )
+    return canvas
+
+
+def bbox_overlaps_native(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native prep library unavailable")
+    a = np.ascontiguousarray(a, np.float32)
+    b = np.ascontiguousarray(b, np.float32)
+    out = np.empty((len(a), len(b)), np.float32)
+    lib.bbox_overlaps(a, len(a), b, len(b), out)
+    return out

@@ -219,3 +219,106 @@ def roi_pool(
     # Empty bins (all cells invalid) -> 0, matching the CUDA kernel init.
     out = jnp.where(jnp.isfinite(out), out, 0.0)
     return out.astype(orig_dtype)
+
+
+# ---------------------------------------------------------------------------
+# MXU formulation of RoI Align: gathers -> matmuls
+# ---------------------------------------------------------------------------
+#
+# RoI Align is a *linear* operator on the feature map, and the bilinear
+# kernel factorizes per axis, so the whole op is two small matrix
+# contractions:
+#
+#   out[r, p, q, c] = sum_h sum_w Wy[r, p, h] * Wx[r, q, w] * feat[h, w, c]
+#
+# where Wy[r, p, :] holds the (1/S)-averaged bilinear weights of bin p's S
+# sample rows (each row has at most 2S nonzeros).  This replaces the
+# random-access gathers of the CUDA/XLA formulation (the reference's
+# roi_align_kernel.cu threads one CUDA lane per sample point) with dense
+# MXU work — the canonical TPU rewrite.  Numerically identical to
+# :func:`roi_align` (same sample coords, same border rules; only the
+# float summation order differs).
+
+
+def _axis_weights(coords: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Per-sample bilinear weights scattered onto the feature grid.
+
+    coords: (..., S) fractional sample coordinates along one axis.
+    Returns (..., size): sum over the S samples of their two-tap bilinear
+    weights (torchvision border rules: points outside [-1, size] drop,
+    in-range points clamp), divided by S (the per-bin average).
+    """
+    s = coords.shape[-1]
+    valid = ((coords >= -1.0) & (coords <= float(size))).astype(jnp.float32)
+    c = jnp.clip(coords, 0.0, size - 1.0)
+    c0 = jnp.floor(c)
+    low = c0.astype(jnp.int32)                       # (..., S)
+    high = jnp.minimum(low + 1, size - 1)
+    w_high = (c - c0) * valid
+    w_low = (1.0 - (c - c0)) * valid
+
+    grid = jnp.arange(size, dtype=jnp.int32)         # (size,)
+    w = (
+        w_low[..., None] * (grid == low[..., None])
+        + w_high[..., None] * (grid == high[..., None])
+    )                                                # (..., S, size)
+    return jnp.sum(w, axis=-2) / float(s)
+
+
+def roi_align_grouped(
+    features: jnp.ndarray,   # (B, H, W, C)
+    rois: jnp.ndarray,       # (B, R, 4) per-image boxes, image coords
+    *,
+    output_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+    sampling_ratio: int = 2,
+    aligned: bool = False,
+) -> jnp.ndarray:
+    """RoI Align for per-image grouped rois, as two MXU contractions.
+
+    Returns (B, R, P, P, C) in the dtype of ``features``.
+    """
+    b, height, width, c = features.shape
+    p = output_size
+    s = max(int(sampling_ratio), 1)
+    orig_dtype = features.dtype
+
+    boxes = jax.lax.stop_gradient(rois.astype(jnp.float32))
+    offset = 0.5 if aligned else 0.0
+    x1 = boxes[..., 0] * spatial_scale - offset      # (B, R)
+    y1 = boxes[..., 1] * spatial_scale - offset
+    x2 = boxes[..., 2] * spatial_scale - offset
+    y2 = boxes[..., 3] * spatial_scale - offset
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    bin_w = roi_w / p
+    bin_h = roi_h / p
+
+    ph = jnp.arange(p, dtype=jnp.float32)            # (P,)
+    frac = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s  # (S,)
+    # (B, R, P, S) absolute sample coordinates per axis.
+    ys = (
+        y1[..., None, None]
+        + (ph[None, None, :, None] + frac[None, None, None, :])
+        * bin_h[..., None, None]
+    )
+    xs = (
+        x1[..., None, None]
+        + (ph[None, None, :, None] + frac[None, None, None, :])
+        * bin_w[..., None, None]
+    )
+
+    wy = _axis_weights(ys, height)                   # (B, R, P, H)
+    wx = _axis_weights(xs, width)                    # (B, R, P, W)
+
+    feat = features.astype(jnp.float32)
+    # (B, R, P, H) x (B, H, W, C) -> (B, R, P, W, C)
+    tmp = jnp.einsum("brph,bhwc->brpwc", wy, feat,
+                     preferred_element_type=jnp.float32)
+    # (B, R, Q, W) x (B, R, P, W, C) -> (B, R, P, Q, C)
+    out = jnp.einsum("brqw,brpwc->brpqc", wx, tmp,
+                     preferred_element_type=jnp.float32)
+    return out.astype(orig_dtype)

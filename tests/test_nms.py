@@ -136,3 +136,74 @@ class TestNms:
             want = np_greedy_nms(all_boxes[c], all_scores[c], 0.3, 100,
                                  valid=valids[c])
             assert got == want, f"class {c}"
+
+
+class TestPallasKernel:
+    """A/B: the Pallas kernel (interpret mode on CPU) must match both the
+    lax implementation and the numpy oracle exactly."""
+
+    def test_matches_lax_and_oracle(self, rng):
+        from scda_tpu.ops.pallas.nms_kernel import nms_sorted_pallas
+
+        boxes, scores = random_cluttered_boxes(rng, 700)
+        thr, max_out = 0.5, 40
+
+        ref = np_greedy_nms(boxes, scores, thr, max_out)
+
+        order = np.argsort(-scores, kind="stable")
+        keep = nms_sorted_pallas(
+            jnp.asarray(boxes[order]), jnp.ones((700,), bool),
+            iou_threshold=thr, max_output=max_out, tile_size=128,
+            interpret=True,
+        )
+        pal = order[np.asarray(keep)][:max_out]
+        assert sorted(pal.tolist()) == sorted(ref)
+
+        res = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                  iou_threshold=thr, max_output=max_out, impl="lax")
+        lax_idx = np.asarray(res.indices)[np.asarray(res.valid)]
+        assert sorted(lax_idx.tolist()) == sorted(ref)
+
+    def test_batched_matches_oracle(self, rng):
+        from scda_tpu.ops.pallas.nms_kernel import nms_sorted_pallas
+
+        b, n, thr, max_out = 3, 300, 0.6, 25
+        all_boxes, all_scores, all_valid = [], [], []
+        for _ in range(b):
+            bx, sc = random_cluttered_boxes(rng, n)
+            v = rng.rand(n) > 0.1
+            all_boxes.append(bx); all_scores.append(sc); all_valid.append(v)
+        boxes = np.stack(all_boxes); scores = np.stack(all_scores)
+        valid = np.stack(all_valid)
+
+        order = np.argsort(-np.where(valid, scores, -np.inf), axis=1,
+                           kind="stable")
+        sboxes = np.take_along_axis(boxes, order[..., None], axis=1)
+        svalid = np.take_along_axis(valid, order, axis=1)
+        keep = nms_sorted_pallas(
+            jnp.asarray(sboxes), jnp.asarray(svalid),
+            iou_threshold=thr, max_output=max_out, tile_size=128,
+            interpret=True,
+        )
+        keep = np.asarray(keep)
+        for i in range(b):
+            ref = np_greedy_nms(boxes[i], scores[i], thr, max_out,
+                                valid=valid[i])
+            pal = order[i][keep[i]][:max_out]
+            assert sorted(pal.tolist()) == sorted(ref), f"row {i}"
+
+    def test_public_api_pallas_impl(self, rng):
+        boxes, scores = random_cluttered_boxes(rng, 300)
+        thr, max_out = 0.5, 30
+        ref = np_greedy_nms(boxes, scores, thr, max_out)
+        res = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                  iou_threshold=thr, max_output=max_out, impl="pallas")
+        idx = np.asarray(res.indices)[np.asarray(res.valid)]
+        assert sorted(idx.tolist()) == sorted(ref)
+
+        res_b = batched_nms(
+            jnp.asarray(boxes[None]), jnp.asarray(scores[None]),
+            iou_threshold=thr, max_output=max_out, impl="pallas",
+        )
+        idx_b = np.asarray(res_b.indices[0])[np.asarray(res_b.valid[0])]
+        assert sorted(idx_b.tolist()) == sorted(ref)

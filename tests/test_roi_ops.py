@@ -165,3 +165,69 @@ class TestRoiPool:
         got = np.asarray(roi_pool(jnp.array(feat), jnp.array(rois)))
         want = np_roi_pool(feat[0], rois[0], 7, 1 / 16)
         np.testing.assert_allclose(got[0], want, rtol=1e-5)
+
+
+class TestRoiAlignGrouped:
+    """The MXU (matmul) formulation must match the gather formulation
+    bit-for-bit up to float summation order."""
+
+    def test_matches_gather_impl(self, rng):
+        from scda_tpu.ops.roi_ops import roi_align, roi_align_grouped
+
+        b, h, w, c, r, p = 2, 16, 24, 8, 12, 7
+        feat = rng.randn(b, h, w, c).astype(np.float32)
+        rois = np.stack(
+            [random_rois(rng, r, h * 16, w * 16) for _ in range(b)]
+        )  # (B, R, 4) in image coords
+        grouped = roi_align_grouped(
+            jnp.asarray(feat), jnp.asarray(rois),
+            output_size=p, spatial_scale=1 / 16.0, sampling_ratio=2,
+        )
+        flat = roi_align(
+            jnp.asarray(feat), jnp.asarray(rois.reshape(b * r, 4)),
+            jnp.repeat(jnp.arange(b, dtype=jnp.int32), r),
+            output_size=p, spatial_scale=1 / 16.0, sampling_ratio=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(grouped).reshape(b * r, p, p, c),
+            np.asarray(flat), rtol=1e-5, atol=1e-5,
+        )
+
+    def test_aligned_and_oob(self, rng):
+        from scda_tpu.ops.roi_ops import roi_align, roi_align_grouped
+
+        b, h, w, c, p = 1, 10, 12, 4, 5
+        feat = rng.randn(b, h, w, c).astype(np.float32)
+        # Boxes partially outside the feature map to hit border rules.
+        rois = np.array(
+            [[[-40.0, -30.0, 80.0, 60.0],
+              [100.0, 90.0, 400.0, 300.0],
+              [0.0, 0.0, 12 * 16.0, 10 * 16.0]]], np.float32,
+        )
+        for aligned in (False, True):
+            g = roi_align_grouped(
+                jnp.asarray(feat), jnp.asarray(rois), output_size=p,
+                spatial_scale=1 / 16.0, sampling_ratio=2, aligned=aligned,
+            )
+            f = roi_align(
+                jnp.asarray(feat), jnp.asarray(rois[0]),
+                jnp.zeros((3,), jnp.int32), output_size=p,
+                spatial_scale=1 / 16.0, sampling_ratio=2, aligned=aligned,
+            )
+            np.testing.assert_allclose(
+                np.asarray(g)[0], np.asarray(f), rtol=1e-5, atol=1e-5,
+            )
+
+    def test_gradients_flow(self, rng):
+        from scda_tpu.ops.roi_ops import roi_align_grouped
+
+        feat = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+        rois = jnp.asarray([[[8.0, 8.0, 100.0, 100.0]]])
+
+        def loss(f):
+            return jnp.sum(roi_align_grouped(f, rois, output_size=3,
+                                             spatial_scale=1 / 16.0) ** 2)
+
+        g = jax.grad(loss)(feat)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
