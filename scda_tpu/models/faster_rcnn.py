@@ -21,7 +21,9 @@ from scda_tpu.config import ModelConfig
 from scda_tpu.models.backbones.resnet import ResNetBackbone, ResNetC4Head
 from scda_tpu.models.backbones.vgg import VGG16Backbone, VGG16Head
 from scda_tpu.models.rpn import RPNHead
-from scda_tpu.ops.roi_ops import roi_align, roi_align_grouped, roi_pool
+from scda_tpu.ops.roi_ops import (
+    roi_align, roi_align_grouped, roi_crop, roi_pool,
+)
 
 
 def _normal_init(stddev: float):
@@ -151,12 +153,13 @@ def pool_rois(
             spatial_scale=1.0 / cfg.feat_stride,
             sampling_ratio=cfg.sampling_ratio,
         )
-    if cfg.pooling_mode == "pool":
+    if cfg.pooling_mode in ("pool", "crop"):
         if grouped:
             b, r, _ = rois.shape
             batch_indices = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
             rois = rois.reshape(b * r, 4)
-        return roi_pool(
+        op = roi_pool if cfg.pooling_mode == "pool" else roi_crop
+        return op(
             feat, rois, batch_indices,
             output_size=p,
             spatial_scale=1.0 / cfg.feat_stride,

@@ -322,3 +322,52 @@ def roi_align_grouped(
     out = jnp.einsum("brqw,brpwc->brpqc", wx, tmp,
                      preferred_element_type=jnp.float32)
     return out.astype(orig_dtype)
+
+
+def roi_crop(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    batch_indices: jnp.ndarray | None = None,
+    *,
+    output_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+) -> jnp.ndarray:
+    """RoI Crop: affine-grid bilinear crop then 2x2 max-pool.
+
+    Rebuild of the reference's ``POOLING_MODE=crop`` path
+    (ref lib/model/roi_crop/src/roi_crop_cuda_kernel.cu:~20-250 +
+    ``_affine_grid_gen`` in faster_rcnn.py:~95): a (2P x 2P) sample grid
+    spans the roi corner-to-corner (align_corners affine_grid
+    semantics), bilinear-sampled with zero padding, then max-pooled 2x2
+    (ref ``F.max_pool2d(grid_sample(...), 2, 2)``).
+
+    Returns (R, P, P, C).
+    """
+    boxes, bidx = _split_rois(rois, batch_indices)
+    b, height, width, c = features.shape
+    p = output_size
+    g = 2 * p
+
+    orig_dtype = features.dtype
+    flat = features.reshape(b * height * width, c).astype(jnp.float32)
+    boxes = jax.lax.stop_gradient(boxes.astype(jnp.float32))
+
+    x1 = boxes[:, 0] * spatial_scale
+    y1 = boxes[:, 1] * spatial_scale
+    x2 = boxes[:, 2] * spatial_scale
+    y2 = boxes[:, 3] * spatial_scale
+
+    t = jnp.linspace(0.0, 1.0, g)                     # corner-inclusive
+    ys = y1[:, None] + t[None, :] * (y2 - y1)[:, None]   # (R, G)
+    xs = x1[:, None] + t[None, :] * (x2 - x1)[:, None]
+
+    yy = ys[:, :, None]
+    xx = xs[:, None, :]
+    yy, xx = jnp.broadcast_arrays(yy, xx)             # (R, G, G)
+
+    batch_offset = (bidx * (height * width))[:, None, None]
+    vals = _bilinear_gather(flat, batch_offset, yy, xx, height, width)
+    # 2x2 max-pool to (P, P).
+    r = boxes.shape[0]
+    vals = vals.reshape(r, p, 2, p, 2, c).max(axis=(2, 4))
+    return vals.astype(orig_dtype)

@@ -231,3 +231,49 @@ class TestRoiAlignGrouped:
         g = jax.grad(loss)(feat)
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).max() > 0
+
+
+def np_roi_crop(feat, box, P, scale):
+    """Oracle for roi_crop: corner-inclusive (2P x 2P) bilinear grid over
+    the roi, zero-padded OOB, then 2x2 max-pool."""
+    h, w, c = feat.shape
+    g = 2 * P
+    x1, y1, x2, y2 = [v * scale for v in box]
+    t = np.linspace(0.0, 1.0, g)
+    ys = y1 + t * (y2 - y1)
+    xs = x1 + t * (x2 - x1)
+    out = np.zeros((g, g, c), np.float32)
+    for i, y in enumerate(ys):
+        for j, x in enumerate(xs):
+            out[i, j] = np_bilinear(feat, y, x)
+    return out.reshape(P, 2, P, 2, c).max(axis=(1, 3))
+
+
+class TestRoiCrop:
+    def test_matches_oracle(self, rng):
+        from scda_tpu.ops.roi_ops import roi_crop
+
+        h, w, c, P = 12, 16, 6, 7
+        feat = rng.randn(1, h, w, c).astype(np.float32)
+        rois = random_rois(rng, 5, h * 16, w * 16)
+        out = roi_crop(jnp.asarray(feat), jnp.asarray(rois),
+                       jnp.zeros((5,), jnp.int32), output_size=P,
+                       spatial_scale=1 / 16.0)
+        for i in range(5):
+            ref = np_roi_crop(feat[0], rois[i], P, 1 / 16.0)
+            np.testing.assert_allclose(np.asarray(out)[i], ref,
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_pool_rois_crop_mode(self, rng):
+        import dataclasses
+
+        from scda_tpu.config import ModelConfig
+        from scda_tpu.models.faster_rcnn import pool_rois
+
+        feat = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+        rois = jnp.asarray(rng.rand(2, 3, 4).astype(np.float32) * 60)
+        rois = rois.at[..., 2:].add(rois[..., :2] + 16)
+        cfg = ModelConfig(pooling_mode="crop", pooling_size=5)
+        out = pool_rois(feat, rois, None, cfg)
+        assert out.shape == (6, 5, 5, 4)
+        assert np.isfinite(np.asarray(out)).all()
