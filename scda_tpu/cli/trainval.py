@@ -55,6 +55,11 @@ def parse_args(argv=None):
     p.add_argument("--use_tfb", action="store_true",
                    help="also write TensorBoard summaries")
     p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--cfg_file", default=None,
+                   help="YAML config overlay (ref cfg_from_file)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of steps 3-8 "
+                        "into DIR (view with tensorboard)")
     p.add_argument("--set", dest="set_cfgs", nargs="*", default=[],
                    help="config overrides: dotted.path value ...")
     # Synthetic-mode knobs.
@@ -72,10 +77,16 @@ NET_TO_BACKBONE = {"vgg16": "vgg16", "res50": "resnet50",
 
 
 def build_config(args):
-    from scda_tpu.config import PRESETS, apply_overrides, replace_path
+    from scda_tpu.config import (
+        PRESETS, apply_overrides, config_from_yaml, replace_path,
+    )
 
     cfg = PRESETS[NET_TO_PRESET[args.net]]()
     cfg = replace_path(cfg, "model.backbone", NET_TO_BACKBONE[args.net])
+    if args.cfg_file:
+        cfg = config_from_yaml(args.cfg_file, base=cfg)
+        if cfg.adapt.enabled:
+            args.adapt = True
     if args.lr is not None:
         cfg = replace_path(cfg, "train.learning_rate", args.lr)
     if args.epochs is not None:
@@ -232,6 +243,15 @@ def main(argv=None) -> int:
             else:
                 state, metrics = step_fn(state, *sb, base_rng)
             step += 1
+            # Profiler window: steps 3-8 after compile (SURVEY.md §5 —
+            # the reference had only wall-clock prints).
+            if args.profile and step == 3:
+                jax.profiler.start_trace(args.profile)
+            if args.profile and step == 8:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                print(f"profiler trace -> {args.profile}", flush=True)
+                args.profile = None
             if step % cfg.train.disp_interval == 0 or step == 1:
                 m = {k: float(v) for k, v in
                      jax.device_get(metrics).items()}  # <- sync point

@@ -215,3 +215,50 @@ class TestCliSmoke:
         )
         assert r2.returncode == 0, r2.stderr[-2000:]
         assert "mAP@0.5" in r2.stdout
+
+
+class TestCocoLoader:
+    def test_loads_coco_json(self, tmp_path, rng):
+        import json
+
+        from PIL import Image
+
+        from scda_tpu.data.coco import load_coco_dataset
+
+        img_dir = os.path.join(tmp_path, "imgs")
+        os.makedirs(img_dir)
+        for i in range(2):
+            Image.fromarray(
+                (rng.rand(40, 60, 3) * 255).astype(np.uint8)
+            ).save(os.path.join(img_dir, f"{i}.jpg"))
+        coco = {
+            "images": [
+                {"id": 1, "file_name": "0.jpg", "width": 60, "height": 40},
+                {"id": 2, "file_name": "1.jpg", "width": 60, "height": 40},
+            ],
+            "categories": [
+                {"id": 7, "name": "car"}, {"id": 3, "name": "person"},
+            ],
+            "annotations": [
+                {"image_id": 1, "category_id": 7, "bbox": [10, 5, 20, 12],
+                 "iscrowd": 0},
+                {"image_id": 1, "category_id": 3, "bbox": [2, 2, 8, 8],
+                 "iscrowd": 0},
+                {"image_id": 2, "category_id": 7, "bbox": [0, 0, 30, 30],
+                 "iscrowd": 1},  # crowd: dropped
+            ],
+        }
+        ann_path = os.path.join(tmp_path, "instances.json")
+        with open(ann_path, "w") as f:
+            json.dump(coco, f)
+
+        ds = load_coco_dataset(ann_path, img_dir, name="test_coco")
+        # categories id-sorted: person (id 3) -> label 1, car (id 7) -> 2
+        assert ds.classes == ("person", "car")
+        assert len(ds) == 1  # image 2 only had a crowd ann -> dropped
+        rec = ds.records[0]
+        assert rec.labels.tolist() == [2, 1]
+        np.testing.assert_allclose(rec.boxes[0], [10, 5, 29, 16])
+
+        ds2 = load_coco_dataset(ann_path, img_dir, keep_empty=True)
+        assert len(ds2) == 2
