@@ -94,6 +94,12 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"  # MXU-native matmul/conv dtype
     # ResNet-specific (ref: lib/model/faster_rcnn/resnet.py:~250)
     resnet_fixed_blocks: int = 1     # ref RESNET.FIXED_BLOCKS
+    # Multi-scale RoI alignment (BASELINE config #5 stretch): small rois
+    # pool from the stride-8 backbone level (lateral 1x1-projected to the
+    # head's channel count), large rois from stride 16.  RPN stays on the
+    # stride-16 map.
+    multiscale_roi: bool = False
+    ms_fine_threshold: float = 112.0  # roi sqrt-area (image px) cutoff
 
     @property
     def head_dim(self) -> int:

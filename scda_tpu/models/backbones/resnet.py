@@ -111,7 +111,7 @@ class ResNetBackbone(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_pyramid: bool = False):
         blocks = RESNET_DEPTHS[self.depth]
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
@@ -123,7 +123,10 @@ class ResNetBackbone(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         x = ResNetStage(64, blocks[0], 1, dtype=self.dtype, name="layer1")(x)
         x = ResNetStage(128, blocks[1], 2, dtype=self.dtype, name="layer2")(x)
+        f8 = x  # layer2 output, stride 8 (512 ch)
         x = ResNetStage(256, blocks[2], 2, dtype=self.dtype, name="layer3")(x)
+        if return_pyramid:
+            return f8, x
         return x
 
 

@@ -19,13 +19,18 @@ class TinyBackbone(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_pyramid: bool = False):
         x = x.astype(self.dtype)
+        f8 = None
         for i, ch in enumerate([16, 32, 48, self.channels]):
             x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"conv{i}")(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            if i == 2:
+                f8 = x  # stride 8
+        if return_pyramid:
+            return f8, x
         return x
 
 

@@ -36,16 +36,26 @@ _FROZEN_TORCH_IDX = (0, 2, 5, 7)
 
 
 class VGG16Backbone(nn.Module):
-    """conv1_1..conv5_3, stride 16, 512-channel output."""
+    """conv1_1..conv5_3, stride 16, 512-channel output.
+
+    ``return_pyramid=True`` additionally returns the stride-8 conv4_3
+    feature (512 ch) for multi-scale RoI pooling (config #5); the flag
+    only changes what is returned, never the parameter structure.
+    """
 
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_pyramid: bool = False):
         x = x.astype(self.dtype)
+        f8 = None
+        pools = 0
         for item in VGG16_LAYOUT:
             if item == "M":
+                if pools == 3:
+                    f8 = x  # conv4_3 output, stride 8
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                pools += 1
             else:
                 idx, ch = item
                 x = nn.Conv(
@@ -53,6 +63,8 @@ class VGG16Backbone(nn.Module):
                     param_dtype=jnp.float32, name=f"conv{idx}",
                 )(x)
                 x = nn.relu(x)
+        if return_pyramid:
+            return f8, x
         return x
 
 

@@ -20,7 +20,9 @@ import jax.numpy as jnp
 from scda_tpu.config import Config
 from scda_tpu.core import boxes as box_ops
 from scda_tpu.core.boxes import smooth_l1_loss
-from scda_tpu.models.faster_rcnn import FasterRCNN, pool_rois
+from scda_tpu.models.faster_rcnn import (
+    FasterRCNN, pool_rois, pool_rois_multiscale,
+)
 from scda_tpu.models.rpn import Proposals, propose
 from scda_tpu.models.targets import anchor_targets, proposal_targets
 from scda_tpu.ops.nms import batched_nms
@@ -110,7 +112,14 @@ def forward_train(
     mc = cfg.model
     rng_anchor, rng_roi, rng_drop = jax.random.split(rng, 3)
 
-    feat = model.apply({"params": params}, image, method=FasterRCNN.features)
+    if mc.multiscale_roi:
+        feat_fine, feat = model.apply(
+            {"params": params}, image, method=FasterRCNN.features_pyramid
+        )
+    else:
+        feat_fine = None
+        feat = model.apply({"params": params}, image,
+                           method=FasterRCNN.features)
     rpn_cls, rpn_bbox = model.apply(
         {"params": params}, feat, method=FasterRCNN.rpn_out
     )
@@ -132,7 +141,10 @@ def forward_train(
     )
 
     bs, s = samples.labels.shape
-    pooled = pool_rois(feat, samples.rois, None, mc)  # grouped MXU path
+    if mc.multiscale_roi:
+        pooled = pool_rois_multiscale(feat_fine, feat, samples.rois, mc)
+    else:
+        pooled = pool_rois(feat, samples.rois, None, mc)  # grouped MXU
 
     cls_logits, bbox_deltas = model.apply(
         {"params": params}, pooled, True,
@@ -184,7 +196,14 @@ def forward_inference(
     mc = cfg.model
     tc = cfg.test
 
-    feat = model.apply({"params": params}, image, method=FasterRCNN.features)
+    if mc.multiscale_roi:
+        feat_fine, feat = model.apply(
+            {"params": params}, image, method=FasterRCNN.features_pyramid
+        )
+    else:
+        feat_fine = None
+        feat = model.apply({"params": params}, image,
+                           method=FasterRCNN.features)
     rpn_cls, rpn_bbox = model.apply(
         {"params": params}, feat, method=FasterRCNN.rpn_out
     )
@@ -192,7 +211,10 @@ def forward_inference(
     props = propose(rpn_cls, rpn_bbox, anchors, im_info, tc.proposal)
 
     b, n, _ = props.boxes.shape
-    pooled = pool_rois(feat, props.boxes, None, mc)  # grouped MXU path
+    if mc.multiscale_roi:
+        pooled = pool_rois_multiscale(feat_fine, feat, props.boxes, mc)
+    else:
+        pooled = pool_rois(feat, props.boxes, None, mc)  # grouped MXU
     cls_logits, bbox_deltas = model.apply(
         {"params": params}, pooled, False, method=FasterRCNN.roi_head
     )

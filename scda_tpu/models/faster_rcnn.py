@@ -74,6 +74,14 @@ class FasterRCNN(nn.Module):
             channels=c.rpn_channels,
             dtype=self.dtype,
         )
+        if c.multiscale_roi:
+            # Lateral projection of the stride-8 level to the stride-16
+            # channel count so the RoI head is level-agnostic (FPN-style).
+            out_ch = {"vgg16": 512, "tiny": 64}.get(c.backbone, 1024)
+            self.c3_proj = nn.Conv(
+                out_ch, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                name="c3_proj",
+            )
         # Ref _init_weights (faster_rcnn.py:~120): cls 0.01, bbox 0.001.
         init = _truncated_init if c.truncated_init else _normal_init
         self.cls_score = nn.Dense(
@@ -92,6 +100,12 @@ class FasterRCNN(nn.Module):
         """Image (B, H, W, 3) -> base features (B, H/16, W/16, C)."""
         return self.backbone(image)
 
+    def features_pyramid(self, image: jnp.ndarray):
+        """Image -> (stride-8 projected, stride-16) feature pair for
+        multi-scale RoI pooling (cfg.multiscale_roi)."""
+        f8, f16 = self.backbone(image, return_pyramid=True)
+        return self.c3_proj(f8), f16
+
     def rpn_out(self, feat: jnp.ndarray):
         return self.rpn(feat)
 
@@ -106,7 +120,10 @@ class FasterRCNN(nn.Module):
 
     def __call__(self, image: jnp.ndarray, train: bool = False):
         """Init/tracing path touching every parameter."""
-        feat = self.features(image)
+        if self.cfg.multiscale_roi:
+            _, feat = self.features_pyramid(image)
+        else:
+            feat = self.features(image)
         cls_logits, bbox = self.rpn_out(feat)
         p = self.cfg.pooling_size
         dummy_rois = jnp.tile(
@@ -165,6 +182,35 @@ def pool_rois(
             spatial_scale=1.0 / cfg.feat_stride,
         )
     raise ValueError(f"unknown pooling_mode {cfg.pooling_mode!r}")
+
+
+def pool_rois_multiscale(
+    f8: jnp.ndarray,        # (B, H/8, W/8, C) lateral-projected
+    f16: jnp.ndarray,       # (B, H/16, W/16, C)
+    rois: jnp.ndarray,      # (B, R, 4) image coords
+    cfg: ModelConfig,
+    *,
+    output_size: int | None = None,
+) -> jnp.ndarray:
+    """FPN-style level-assigned RoI align (BASELINE config #5).
+
+    Each roi pools from the level matching its scale: sqrt-area below
+    ``ms_fine_threshold`` image pixels -> stride-8 level, else stride 16.
+    Both levels are pooled (static shapes) and selected per roi; output
+    is flat (B*R, P, P, C) like :func:`pool_rois`.
+    """
+    p = output_size or cfg.pooling_size
+    b, r, _ = rois.shape
+    wh = jnp.maximum(rois[..., 2] - rois[..., 0], 0.0) * jnp.maximum(
+        rois[..., 3] - rois[..., 1], 0.0
+    )
+    fine = jnp.sqrt(wh) < cfg.ms_fine_threshold  # (B, R)
+
+    kw = dict(output_size=p, sampling_ratio=cfg.sampling_ratio)
+    p8 = roi_align_grouped(f8, rois, spatial_scale=1.0 / 8.0, **kw)
+    p16 = roi_align_grouped(f16, rois, spatial_scale=1.0 / 16.0, **kw)
+    out = jnp.where(fine[..., None, None, None], p8, p16)
+    return out.reshape((-1,) + out.shape[2:])
 
 
 def build_model(cfg: ModelConfig, num_anchors: int = 9) -> FasterRCNN:
