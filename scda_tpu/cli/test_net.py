@@ -41,10 +41,26 @@ def main(argv=None) -> int:
     args = parse_args(argv)
 
     from scda_tpu.cli.trainval import NET_TO_BACKBONE, NET_TO_PRESET
-    from scda_tpu.config import PRESETS, apply_overrides, replace_path
+    from scda_tpu.config import (
+        PRESETS, _merge_into, apply_overrides, replace_path,
+    )
 
     cfg = PRESETS[NET_TO_PRESET[args.net]]()
     cfg = replace_path(cfg, "model.backbone", NET_TO_BACKBONE[args.net])
+
+    # Self-configure the architecture from the config recorded at train
+    # time (trainval writes config.json next to the checkpoints); CLI
+    # --set still wins.
+    ckpt_ds0 = args.checkpoint_dataset or args.dataset
+    cfg_json = os.path.join(args.load_dir, args.net, ckpt_ds0,
+                            "config.json")
+    if os.path.exists(cfg_json):
+        with open(cfg_json) as f:
+            saved = json.load(f)["config"]
+        cfg = _merge_into(cfg, {"model": saved.get("model", {}),
+                                "anchors": saved.get("anchors", {})})
+        print(f"architecture from {cfg_json}")
+
     if args.synth_size:
         cfg = replace_path(cfg, "data.image_size", tuple(args.synth_size))
     overrides = dict(zip(args.set_cfgs[0::2], args.set_cfgs[1::2]))

@@ -111,28 +111,42 @@ def build_config(args):
 def get_datasets(args, cfg):
     from scda_tpu.data.voc import get_dataset
 
-    if args.dataset == "synthetic":
-        import tempfile
+    def resolve(name):
+        # "dir:<path>" = images-only folder (the unlabeled SCDA target
+        # domain needs no annotations).
+        if name.startswith("dir:"):
+            from scda_tpu.data.voc import load_image_dir_dataset
 
-        from scda_tpu.data.synthetic import make_synthetic_dataset
+            return load_image_dir_dataset(name[4:],
+                                          name=os.path.basename(name[4:]))
+        if name == "synthetic":
+            import tempfile
 
-        root = os.path.join(tempfile.gettempdir(), "scda_synth_train")
-        src = make_synthetic_dataset(
-            root, num_images=args.synth_images,
-            image_size=cfg.data.image_size, seed=0, split="train",
-        )
-        tgt = None
-        if args.adapt:
-            tgt = make_synthetic_dataset(
+            from scda_tpu.data.synthetic import make_synthetic_dataset
+
+            return make_synthetic_dataset(
+                os.path.join(tempfile.gettempdir(), "scda_synth_train"),
+                num_images=args.synth_images,
+                image_size=cfg.data.image_size, seed=0, split="train",
+            )
+        if name == "synthetic_foggy":
+            import tempfile
+
+            from scda_tpu.data.synthetic import make_synthetic_dataset
+
+            return make_synthetic_dataset(
                 os.path.join(tempfile.gettempdir(), "scda_synth_tgt"),
                 num_images=args.synth_images,
                 image_size=cfg.data.image_size, seed=1, split="train",
-                fog=0.5,
+                fog=0.5, name="synthetic_foggy",
             )
-        return src, tgt
+        return get_dataset(name)
 
-    src = get_dataset(args.dataset)
-    tgt = get_dataset(args.target_dataset) if args.target_dataset else None
+    src = resolve(args.dataset)
+    tgt_name = args.target_dataset
+    if tgt_name is None and args.adapt and args.dataset == "synthetic":
+        tgt_name = "synthetic_foggy"  # fixture target for smoke runs
+    tgt = resolve(tgt_name) if tgt_name else None
     return src, tgt
 
 
@@ -204,6 +218,16 @@ def main(argv=None) -> int:
         tgt_iter = None
 
     save_dir = os.path.join(args.save_dir, args.net, src_ds.name)
+    # Record the config + class list next to the checkpoints so eval and
+    # demo self-configure (exceeds the reference, which pickled only
+    # pooling_mode/class_agnostic into the checkpoint).
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir, "config.json"), "w") as f:
+        import dataclasses as _dc
+        import json as _json
+
+        _json.dump({"config": _dc.asdict(cfg),
+                    "classes": list(src_ds.classes)}, f, indent=1)
     if args.resume:
         step0 = ckpt.latest_step(save_dir)
         if step0 is not None:

@@ -181,6 +181,11 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 2,
     ):
+        if len(dataset) == 0:
+            raise ValueError(
+                f"dataset {dataset.name!r} has no records — an empty "
+                "dataset would make the loader spin forever"
+            )
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size

@@ -237,3 +237,38 @@ def _register_standard(data_root: str = None) -> None:
 
 
 _register_standard()
+
+
+def load_image_dir_dataset(
+    root: str,
+    classes: Sequence[str] = CITYSCAPES_CLASSES,
+    name: str = "image_dir",
+) -> Dataset:
+    """Images-only dataset from a flat directory (no annotations).
+
+    The SCDA target domain needs no labels (SURVEY.md §3.2) — this is the
+    minimal imdb for it: every image gets an empty gt set.  Mirrors the
+    reference's image-only target imdbs (§2b).
+    """
+    from PIL import Image
+
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    records = []
+    for fname in sorted(os.listdir(root)):
+        if not fname.lower().endswith(exts):
+            continue
+        path = os.path.join(root, fname)
+        with Image.open(path) as im:
+            w, h = im.size
+        records.append(
+            ImageRecord(
+                image_id=os.path.splitext(fname)[0],
+                image_path=path,
+                width=w,
+                height=h,
+                boxes=np.zeros((0, 4), np.float32),
+                labels=np.zeros((0,), np.int32),
+                difficult=np.zeros((0,), bool),
+            )
+        )
+    return Dataset(name=name, classes=tuple(classes), records=records)
