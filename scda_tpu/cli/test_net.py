@@ -29,6 +29,11 @@ def parse_args(argv=None):
     p.add_argument("--use_07_metric", action="store_true")
     p.add_argument("--dets_out", default=None,
                    help="write detections JSON here")
+    p.add_argument("--vis", default=None, metavar="DIR",
+                   help="write detection overlays for the first images "
+                        "(ref test_net.py --vis)")
+    p.add_argument("--vis_count", type=int, default=8)
+    p.add_argument("--vis_thresh", type=float, default=0.3)
     p.add_argument("--num_devices", type=int, default=0)
     p.add_argument("--set", dest="set_cfgs", nargs="*", default=[])
     p.add_argument("--synth_images", type=int, default=8)
@@ -136,6 +141,30 @@ def main(argv=None) -> int:
         print(f"AP@0.5 {cls:16s} = {results[cls]:.4f}")
     print(f"mAP@0.5 = {results['mAP']:.4f}  "
           f"({results['images_per_sec']:.2f} img/s)")
+
+    if args.vis:
+        from scda_tpu.cli.demo import draw_detections
+        from scda_tpu.data.pipeline import load_image
+
+        os.makedirs(args.vis, exist_ok=True)
+        by_image = {}
+        for cls, dets in all_dets.items():
+            ci = dataset.classes.index(cls) + 1
+            for img_id, box, score in dets:
+                by_image.setdefault(img_id, []).append((box, score, ci))
+        from PIL import Image
+
+        for rec in dataset.records[: args.vis_count]:
+            dets = by_image.get(rec.image_id, [])
+            boxes = [d[0] for d in dets]
+            scores = [d[1] for d in dets]
+            cls_ids = [d[2] for d in dets]
+            rgb = load_image(rec)[:, :, ::-1]
+            out = draw_detections(rgb, boxes, scores, cls_ids,
+                                  dataset.classes, args.vis_thresh)
+            Image.fromarray(out).save(
+                os.path.join(args.vis, f"{rec.image_id}_det.png"))
+        print(f"overlays -> {args.vis}")
 
     if args.dets_out:
         payload = {

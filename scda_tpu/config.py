@@ -183,6 +183,7 @@ class DataConfig:
     pixel_means: Tuple[float, ...] = (102.9801, 115.9465, 122.7717)  # BGR, caffe
     use_flipped: bool = True         # ref cfg.TRAIN.USE_FLIPPED
     num_workers: int = 0
+    cache_images: int = 64           # decoded-image cache entries (0 = off)
 
 
 @dataclass(frozen=True)

@@ -143,9 +143,10 @@ def prepare_gt_boxes(
 
 
 def make_example(
-    record: ImageRecord, cfg: DataConfig, flip: bool = False
+    record: ImageRecord, cfg: DataConfig, flip: bool = False,
+    img_bgr: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
-    img = load_image(record)
+    img = load_image(record) if img_bgr is None else img_bgr
     canvas, scale, (vh, vw) = prepare_image(img, cfg, flip)
     gt, n = prepare_gt_boxes(record, scale, cfg, flip)
     im_info = np.array([vh, vw, scale], np.float32)
@@ -195,6 +196,10 @@ class DataLoader:
         )
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
+        # Decoded-image cache: avoids re-decoding per epoch on small
+        # datasets (the reference re-reads from disk every step too).
+        self._cache: dict = {}
+        self._cache_limit = cfg.cache_images
 
     def __len__(self) -> int:
         return max(len(self.dataset) // self.batch_size, 1)
@@ -213,12 +218,21 @@ class DataLoader:
             return idx
         return idx[:n]
 
+    def _load(self, record) -> np.ndarray:
+        img = self._cache.get(record.image_path)
+        if img is None:
+            img = load_image(record)
+            if len(self._cache) < self._cache_limit:
+                self._cache[record.image_path] = img
+        return img
+
     def _make_batch(self, indices: Sequence[int]) -> Batch:
         examples = []
         for i in indices:
             flip = self.augment_flip and bool(self.rng.randint(2))
+            rec = self.dataset.records[i]
             examples.append(
-                make_example(self.dataset.records[i], self.cfg, flip)
+                make_example(rec, self.cfg, flip, img_bgr=self._load(rec))
             )
         return _collate(examples)
 
