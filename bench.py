@@ -61,7 +61,7 @@ def main() -> None:
     out = fn(params, images[0], im_info)
     np.asarray(out.scores[0, 0:1])
 
-    iters = 40
+    iters = 100
     t0 = time.perf_counter()
     for i in range(iters):
         out = fn(params, images[i % n_inputs], im_info)

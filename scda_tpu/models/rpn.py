@@ -104,9 +104,10 @@ def propose(
     # backend sees the batch as its own grid dimension (vmapping
     # pallas_call would break its sequential-scratch contract).
     tb, ts, tv = jax.vmap(decode_one)(scores, deltas, im_info)
+    # top_k already returned descending order with invalid at the end.
     res = batched_nms(
         tb, ts, iou_threshold=cfg.nms_thresh,
-        max_output=cfg.post_nms_top_n, valid=tv,
+        max_output=cfg.post_nms_top_n, valid=tv, pre_sorted=True,
     )
     out_boxes = jnp.take_along_axis(tb, res.indices[..., None], axis=1)
     out_scores = jnp.take_along_axis(ts, res.indices, axis=1)

@@ -110,6 +110,7 @@ def nms(
     valid: jnp.ndarray | None = None,
     tile_size: int = 256,
     impl: str | None = None,
+    pre_sorted: bool = False,
 ) -> NmsResult:
     """Greedy NMS with fully static shapes.
 
@@ -120,7 +121,11 @@ def nms(
       max_output: fixed number of outputs (ref post_nms_top_n).
       valid: optional (N,) bool mask; invalid boxes are ignored.
       tile_size: boxes processed per sequential step.
-      impl: "pallas" | "lax" | None (auto: pallas on TPU).
+      impl: "pallas" | "lax" | None (auto; SCDA_NMS_IMPL overrides).
+      pre_sorted: the caller guarantees boxes are already in descending
+        score order with invalid slots at the end (true straight out of
+        ``lax.top_k``) — skips an O(N log N) re-sort (~1.6 ms at N=6000
+        on v5e, 25% of the inference budget).
 
     Returns:
       NmsResult(indices (max_output,) int32, valid (max_output,) bool).
@@ -133,9 +138,16 @@ def nms(
         scores = jnp.where(valid, scores, _NEG_INF)
 
     # ---- sort by score (descending) --------------------------------------
-    sorted_scores, order = lax.top_k(scores, n)
-    sboxes = jnp.take(boxes, order, axis=0)
-    svalid = sorted_scores > _NEG_INF * 0.5
+    if pre_sorted:
+        order = jnp.arange(n, dtype=jnp.int32)
+        sboxes = boxes
+        svalid = (
+            valid if valid is not None else jnp.ones((n,), bool)
+        )
+    else:
+        sorted_scores, order = lax.top_k(scores, n)
+        sboxes = jnp.take(boxes, order, axis=0)
+        svalid = sorted_scores > _NEG_INF * 0.5
 
     if (impl or _default_impl()) == "pallas":
         from scda_tpu.ops.pallas.nms_kernel import nms_sorted_pallas
@@ -216,6 +228,7 @@ def batched_nms(
     valid: jnp.ndarray | None = None,
     tile_size: int = 256,
     impl: str | None = None,
+    pre_sorted: bool = False,
 ) -> NmsResult:
     """NMS over a leading batch (or class) dimension.
 
@@ -232,12 +245,19 @@ def batched_nms(
     if (impl or _default_impl()) == "pallas":
         from scda_tpu.ops.pallas.nms_kernel import nms_sorted_pallas
 
-        scores_m = jnp.where(valid, scores.astype(jnp.float32), _NEG_INF)
-        sorted_scores, order = lax.top_k(scores_m, scores.shape[-1])
-        sboxes = jnp.take_along_axis(
-            boxes.astype(jnp.float32), order[..., None], axis=1
-        )
-        svalid = sorted_scores > _NEG_INF * 0.5
+        if pre_sorted:
+            b, n = scores.shape
+            order = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+            sboxes = boxes.astype(jnp.float32)
+            svalid = valid
+        else:
+            scores_m = jnp.where(valid, scores.astype(jnp.float32),
+                                 _NEG_INF)
+            sorted_scores, order = lax.top_k(scores_m, scores.shape[-1])
+            sboxes = jnp.take_along_axis(
+                boxes.astype(jnp.float32), order[..., None], axis=1
+            )
+            svalid = sorted_scores > _NEG_INF * 0.5
         keep = nms_sorted_pallas(
             sboxes, svalid, iou_threshold=iou_threshold,
             max_output=max_output, tile_size=tile_size,
@@ -254,5 +274,6 @@ def batched_nms(
         valid=v,
         tile_size=tile_size,
         impl="lax",
+        pre_sorted=pre_sorted,
     )
     return jax.vmap(fn)(boxes, scores, valid)

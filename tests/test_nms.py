@@ -207,3 +207,32 @@ class TestPallasKernel:
         )
         idx_b = np.asarray(res_b.indices[0])[np.asarray(res_b.valid[0])]
         assert sorted(idx_b.tolist()) == sorted(ref)
+
+
+class TestPreSorted:
+    def test_pre_sorted_matches_unsorted(self, rng):
+        boxes, scores = random_cluttered_boxes(rng, 400)
+        thr, max_out = 0.5, 40
+        order = np.argsort(-scores, kind="stable")
+        res_ref = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                      iou_threshold=thr, max_output=max_out)
+        res_ps = nms(jnp.asarray(boxes[order]),
+                     jnp.asarray(scores[order]),
+                     iou_threshold=thr, max_output=max_out,
+                     pre_sorted=True)
+        ref_ids = np.asarray(res_ref.indices)[np.asarray(res_ref.valid)]
+        ps_ids = order[np.asarray(res_ps.indices)[np.asarray(res_ps.valid)]]
+        assert ref_ids.tolist() == ps_ids.tolist()
+
+    def test_pre_sorted_with_invalid_tail(self, rng):
+        boxes, scores = random_cluttered_boxes(rng, 200)
+        order = np.argsort(-scores, kind="stable")
+        sb, ss = boxes[order], scores[order]
+        valid = np.ones(200, bool)
+        valid[150:] = False  # invalid tail (as from masked top_k)
+        res = nms(jnp.asarray(sb), jnp.asarray(ss), iou_threshold=0.5,
+                  max_output=30, valid=jnp.asarray(valid),
+                  pre_sorted=True)
+        ref = np_greedy_nms(sb, ss, 0.5, 30, valid=valid)
+        ids = np.asarray(res.indices)[np.asarray(res.valid)]
+        assert sorted(ids.tolist()) == sorted(ref)
