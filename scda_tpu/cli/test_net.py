@@ -39,6 +39,9 @@ def parse_args(argv=None):
     p.add_argument("--synth_images", type=int, default=8)
     p.add_argument("--synth_size", type=int, nargs=2, default=None,
                    metavar=("H", "W"))
+    p.add_argument("--synth_fog", type=float, default=0.0,
+                   help="fog level of the synthetic val set (the SCDA "
+                        "target-domain shift)")
     return p.parse_args(argv)
 
 
@@ -77,10 +80,11 @@ def main(argv=None) -> int:
 
         from scda_tpu.data.synthetic import make_synthetic_dataset
 
+        suffix = f"_fog{args.synth_fog}" if args.synth_fog else ""
         dataset = make_synthetic_dataset(
-            os.path.join(tempfile.gettempdir(), "scda_synth_val"),
+            os.path.join(tempfile.gettempdir(), f"scda_synth_val{suffix}"),
             num_images=args.synth_images, image_size=cfg.data.image_size,
-            seed=100, split="val",
+            seed=100, split="val", fog=args.synth_fog,
         )
     else:
         from scda_tpu.data.voc import get_dataset

@@ -48,6 +48,10 @@ def parse_args(argv=None):
                    help="steps between checkpoints (0 = per epoch)")
     p.add_argument("--r", dest="resume", action="store_true",
                    help="resume from latest checkpoint in save_dir")
+    p.add_argument("--init_from", default=None, metavar="DIR",
+                   help="initialise the detector from a source-only "
+                        "checkpoint dir (the SCDA workflow: adapt a "
+                        "source-pretrained detector)")
     p.add_argument("--pretrained", default=None,
                    help="torch .pth backbone weights to convert+load")
     p.add_argument("--num_devices", type=int, default=0,
@@ -66,6 +70,8 @@ def parse_args(argv=None):
     p.add_argument("--synth_images", type=int, default=16)
     p.add_argument("--synth_size", type=int, nargs=2, default=None,
                    metavar=("H", "W"))
+    p.add_argument("--synth_fog", type=float, default=0.5,
+                   help="fog level of the synthetic_foggy fixture target")
     return p.parse_args(argv)
 
 
@@ -135,10 +141,11 @@ def get_datasets(args, cfg):
             from scda_tpu.data.synthetic import make_synthetic_dataset
 
             return make_synthetic_dataset(
-                os.path.join(tempfile.gettempdir(), "scda_synth_tgt"),
+                os.path.join(tempfile.gettempdir(),
+                             f"scda_synth_tgt_fog{args.synth_fog}"),
                 num_images=args.synth_images,
                 image_size=cfg.data.image_size, seed=1, split="train",
-                fog=0.5, name="synthetic_foggy",
+                fog=args.synth_fog, name="synthetic_foggy",
             )
         return get_dataset(name)
 
@@ -199,6 +206,11 @@ def main(argv=None) -> int:
     total_steps = args.steps or steps_per_epoch * cfg.train.max_epochs
 
     det_state = create_train_state(cfg, params, steps_per_epoch)
+    if args.init_from:
+        det_state = ckpt.restore_checkpoint(args.init_from, det_state)
+        # Adaptation starts its own step count (fresh schedule).
+        det_state = det_state.replace(step=jnp.zeros((), jnp.int32))
+        print(f"detector initialised from {args.init_from}")
 
     if args.adapt:
         from scda_tpu.adapt.scda import (
