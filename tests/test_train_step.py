@@ -145,6 +145,33 @@ class TestMesh8:
         assert np.isfinite(float(metrics["loss"]))
         assert int(state.step) == 1
 
+    def test_scda_step_on_8_device_mesh(self, setup):
+        """Full adaptation step (both optimizers) sharded over the
+        simulated 8-device mesh — the driver's dryrun_multichip as a
+        regression test."""
+        import dataclasses
+
+        cfg0, model, params = setup
+        cfg = dataclasses.replace(
+            cfg0, adapt=dataclasses.replace(cfg0.adapt, enabled=True)
+        )
+        mesh = make_mesh()
+        d_model, d_params = init_discriminator(cfg, model,
+                                               jax.random.key(5))
+        det_state = create_train_state(cfg, params)
+        state = replicate(mesh, create_scda_state(cfg, det_state, d_params))
+        step_fn = make_scda_train_step(model, d_model, cfg, mesh=mesh,
+                                       donate=False)
+
+        r = np.random.RandomState(2)
+        src = synthetic_batch(r, cfg, batch_size=8)
+        tgt_img, tgt_info, _, _ = synthetic_batch(r, cfg, batch_size=8)
+        sharded = shard_batch(mesh, (*src, tgt_img, tgt_info))
+        rng = replicate(mesh, jax.random.key(0))
+        state, metrics = step_fn(state, *sharded, rng)
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["adv"]))
+
 
 class TestMultiscaleRoi:
     def test_level_assignment(self, rng):
