@@ -181,6 +181,7 @@ class DataLoader:
         augment_flip: Optional[bool] = None,
         seed: int = 0,
         prefetch: int = 2,
+        pad_final: bool = False,
     ):
         if len(dataset) == 0:
             raise ValueError(
@@ -196,18 +197,30 @@ class DataLoader:
         )
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
+        # pad_final=True (eval): keep EVERY record; the ragged final
+        # batch is padded by wrapping to the front — consumers must
+        # ignore positions >= len(dataset).  pad_final=False (train):
+        # drop the ragged tail so epochs stay uniform.
+        self.pad_final = pad_final
         # Decoded-image cache: avoids re-decoding per epoch on small
         # datasets (the reference re-reads from disk every step too).
         self._cache: dict = {}
         self._cache_limit = cfg.cache_images
 
     def __len__(self) -> int:
+        if self.pad_final:
+            return -(-len(self.dataset) // self.batch_size)
         return max(len(self.dataset) // self.batch_size, 1)
 
     def _epoch_indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idx)
+        if self.pad_final:
+            pad = (-len(idx)) % self.batch_size
+            if pad:
+                idx = np.concatenate([idx, idx[:pad]])
+            return idx
         # Drop ragged tail so every batch has the static batch size
         # (the reference relied on its sampler for the same invariant).
         n = (len(idx) // self.batch_size) * self.batch_size

@@ -39,6 +39,7 @@ def run_inference(
     eval_fn = make_eval_step(model, cfg, mesh=mesh)
     loader = DataLoader(
         dataset, cfg.data, batch_size, shuffle=False, augment_flip=False,
+        pad_final=True,  # never drop images from the eval set
     )
 
     # Keep image order: DataLoader drops shuffle, but we also need ids.
