@@ -53,21 +53,17 @@ class FasterRCNN(nn.Module):
         if c.backbone == "vgg16":
             self.backbone = VGG16Backbone(dtype=self.dtype)
             self.head = VGG16Head(dtype=self.dtype)
-            head_dim = 4096
         elif c.backbone == "tiny":
             from scda_tpu.models.backbones.tiny import TinyBackbone, TinyHead
 
             self.backbone = TinyBackbone(dtype=self.dtype)
             self.head = TinyHead(dtype=self.dtype)
-            head_dim = 128
         elif c.backbone.startswith("resnet"):
             depth = int(c.backbone.replace("resnet", ""))
             self.backbone = ResNetBackbone(depth=depth, dtype=self.dtype)
             self.head = ResNetC4Head(depth=depth, dtype=self.dtype)
-            head_dim = 2048
         else:
             raise ValueError(f"unknown backbone {c.backbone!r}")
-        del head_dim
 
         self.rpn = RPNHead(
             num_anchors=self.num_anchors,
@@ -145,8 +141,7 @@ def pool_rois(
     output_size: int | None = None,
 ) -> jnp.ndarray:
     """Dispatch on cfg.pooling_mode (ref faster_rcnn.py:~95: the
-    align/pool/crop switch; crop mode is intentionally dropped — align
-    subsumes it, SURVEY.md §2a).
+    align/pool/crop switch — all three modes implemented).
 
     ``rois`` may be per-image grouped (B, R, 4) — the fast path: align
     mode then runs as MXU contractions (roi_align_grouped) instead of

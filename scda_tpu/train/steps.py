@@ -10,7 +10,6 @@ params meet sharded batch losses.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
