@@ -52,7 +52,14 @@ def _draw_scene(
         x1 = rng.randint(0, width - w)
         y1 = rng.randint(0, height - h)
         cls = rng.randint(len(classes))
-        color = np.asarray(_COLORS[classes[cls]], np.float32)
+        # Unknown class names get a deterministic per-index color so the
+        # generator works with arbitrary class lists (e.g. VOC names).
+        fallback = [(220, 40, 30), (40, 200, 60), (40, 70, 220),
+                    (230, 210, 40), (200, 80, 220), (50, 210, 210)]
+        color = np.asarray(
+            _COLORS.get(classes[cls], fallback[cls % len(fallback)]),
+            np.float32,
+        )
         jitter = rng.randn(3) * 10
         img[y1 : y1 + h, x1 : x1 + w] = color + jitter
         # Border to give edges.

@@ -226,6 +226,15 @@ def _register_standard(data_root: str = None) -> None:
         "cityscapes_car_val": ("CityscapesVOC", "val", CAR_ONLY_CLASSES),
         "kitti_train": ("KITTIVOC", "train", CAR_ONLY_CLASSES),
     }
+    # Upstream PASCAL-VOC names (ref factory.py: voc_<year>_<split>);
+    # layout $SCDA_DATA_ROOT/VOCdevkit/VOC<year>/.
+    for year in ("2007", "2012"):
+        for split in ("train", "val", "trainval", "test"):
+            specs[f"voc_{year}_{split}"] = (
+                os.path.join("VOCdevkit", f"VOC{year}"), split,
+                PASCAL_VOC_CLASSES,
+            )
+
     for name, (subdir, split, classes) in specs.items():
         path = os.path.join(root, subdir)
 
