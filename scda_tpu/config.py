@@ -137,6 +137,10 @@ class TrainConfig:
     bias_decay: bool = False         # ref TRAIN.BIAS_DECAY
     gamma: float = 0.1               # ref lr decay factor
     lr_decay_step: int = 5           # epochs between decays
+    # Ref freezes conv1-2 (VGG) / conv1+layer1 (ResNet) because they are
+    # caffe-pretrained; when training from scratch freezing random
+    # filters just hurts — set False then.
+    freeze_pretrained_layers: bool = True
     max_epochs: int = 7
     batch_size: int = 1              # images per step (per replica)
     clip_gradients: float = 10.0     # ref net_utils.clip_gradient (vgg16 path)

@@ -51,6 +51,8 @@ def _mask_from_predicate(params, pred: Callable[[str, Any], bool]):
 
 
 def frozen_paths_for(cfg: Config) -> Sequence[str]:
+    if not cfg.train.freeze_pretrained_layers:
+        return ()
     if cfg.model.backbone == "vgg16":
         return vgg_frozen_param_paths()
     if cfg.model.backbone.startswith("resnet"):
