@@ -295,3 +295,32 @@ class TestEvalCoversAllImages:
         for b in loader:
             seen.append(b.image.shape[0])
         assert sum(seen) == 9  # 3 batches x bs 3 (last padded)
+
+
+class TestDemoCli:
+    def test_demo_writes_overlays(self, tmp_path, rng):
+        from PIL import Image
+
+        img_dir = os.path.join(tmp_path, "imgs")
+        os.makedirs(img_dir)
+        for i in range(2):
+            Image.fromarray(
+                (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+            ).save(os.path.join(img_dir, f"im{i}.png"))
+
+        env = dict(os.environ, SCDA_PLATFORM="cpu", PYTHONPATH=REPO)
+        r = subprocess.run(
+            [sys.executable, "-m", "scda_tpu.cli.demo",
+             "--image_dir", img_dir, "--net", "tiny",
+             "--load_dir", os.path.join(tmp_path, "none"),
+             "--classes", "a", "b", "--thresh", "0.0",
+             "--set", "test.proposal.pre_nms_top_n", "64",
+             "test.proposal.post_nms_top_n", "16",
+             "test.max_dets_per_class", "4", "test.max_per_image", "8",
+             "anchors.scales", "1 2 4", "data.image_size", "64 96",
+             "data.scale", "64", "data.max_size", "96"],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs = [f for f in os.listdir(img_dir) if f.endswith("_det.png")]
+        assert len(outs) == 2, (outs, r.stdout)
