@@ -27,6 +27,8 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint_step", type=int, default=None)
     p.add_argument("--bs", type=int, default=1)
     p.add_argument("--use_07_metric", action="store_true")
+    p.add_argument("--iou_sweep", action="store_true",
+                   help="also report COCO-style mAP@[.5:.95]")
     p.add_argument("--dets_out", default=None,
                    help="write detections JSON here")
     p.add_argument("--vis", default=None, metavar="DIR",
@@ -145,6 +147,15 @@ def main(argv=None) -> int:
         print(f"AP@0.5 {cls:16s} = {results[cls]:.4f}")
     print(f"mAP@0.5 = {results['mAP']:.4f}  "
           f"({results['images_per_sec']:.2f} img/s)")
+
+    if args.iou_sweep:
+        from scda_tpu.evals.voc_eval import evaluate_detections_iou_sweep
+
+        sweep = evaluate_detections_iou_sweep(dataset, all_dets)
+        print(json.dumps({"iou_sweep": {k: round(float(v), 4)
+                                        for k, v in sweep.items()}}))
+        print(f"mAP@[.5:.95] = {sweep['mAP@[.5:.95]']:.4f}  "
+              f"(mAP@0.75 = {sweep['mAP@0.75']:.4f})")
 
     if args.vis:
         from scda_tpu.cli.demo import draw_detections

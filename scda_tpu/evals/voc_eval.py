@@ -148,3 +148,26 @@ def evaluate_detections(
         aps.append(ce.ap)
     results["mAP"] = float(np.mean(aps)) if aps else 0.0
     return results
+
+
+def evaluate_detections_iou_sweep(
+    dataset,
+    all_dets: Dict[str, List[Tuple[str, np.ndarray, float]]],
+    thresholds: Sequence[float] = tuple(np.arange(0.5, 1.0, 0.05)),
+) -> Dict[str, float]:
+    """COCO-style averaged mAP over an IoU sweep (default .5:.95:.05).
+
+    Beyond the reference (which only evaluates VOC AP@0.5); useful for
+    stricter localization comparisons.  Returns {'mAP@[.5:.95]': ...,
+    'mAP@0.50': ..., 'mAP@0.75': ...}.
+    """
+    maps = {}
+    for t in thresholds:
+        r = evaluate_detections(dataset, all_dets, ovthresh=float(t))
+        maps[round(float(t), 2)] = r["mAP"]
+    out = {
+        "mAP@[.5:.95]": float(np.mean(list(maps.values()))),
+        "mAP@0.50": maps.get(0.5, 0.0),
+        "mAP@0.75": maps.get(0.75, 0.0),
+    }
+    return out

@@ -89,3 +89,37 @@ class TestEvalClass:
         )
         assert ce.ap == 1.0
         assert ce.recall[-1] == 1.0
+
+
+class TestIouSweep:
+    def test_perfect_detections_sweep(self):
+        import dataclasses
+
+        from scda_tpu.evals.voc_eval import evaluate_detections_iou_sweep
+
+        @dataclasses.dataclass
+        class Rec:
+            image_id: str
+            boxes: np.ndarray
+            labels: np.ndarray
+            difficult: np.ndarray
+
+        @dataclasses.dataclass
+        class DS:
+            classes: tuple
+            records: list
+
+        rec = Rec("im1", np.array([[0.0, 0, 20, 20]]),
+                  np.array([1]), np.array([False]))
+        ds = DS(("car",), [rec])
+        # Exact box: AP 1.0 at every threshold.
+        dets = {"car": [("im1", np.array([0.0, 0, 20, 20]), 0.9)]}
+        out = evaluate_detections_iou_sweep(ds, dets)
+        assert out["mAP@[.5:.95]"] == 1.0
+
+        # Half-overlapping box: IoU ~0.512 -> counts at 0.5, not at 0.55+.
+        dets2 = {"car": [("im1", np.array([0.0, 0, 20, 9.8]), 0.9)]}
+        out2 = evaluate_detections_iou_sweep(ds, dets2)
+        assert out2["mAP@0.50"] == 1.0
+        assert out2["mAP@0.75"] == 0.0
+        assert 0.05 < out2["mAP@[.5:.95]"] < 0.25
