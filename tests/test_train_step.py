@@ -172,6 +172,21 @@ class TestMesh8:
         assert np.isfinite(float(metrics["loss"]))
         assert np.isfinite(float(metrics["adv"]))
 
+    def test_eval_step_on_8_device_mesh(self, setup):
+        """Sharded inference: batch split over the mesh, fixed-size
+        Detections gathered back data-sharded."""
+        cfg, model, params = setup
+        mesh = make_mesh()
+        from scda_tpu.parallel.mesh import replicate as _repl
+        params_r = _repl(mesh, params)
+        eval_fn = make_eval_step(model, cfg, mesh=mesh)
+        r = np.random.RandomState(3)
+        image, im_info, _, _ = synthetic_batch(r, cfg, batch_size=8)
+        sharded = shard_batch(mesh, (image, im_info))
+        dets = eval_fn(params_r, *sharded)
+        assert dets.boxes.shape == (8, cfg.test.max_per_image, 4)
+        assert np.isfinite(np.asarray(dets.scores)).all()
+
 
 class TestMultiscaleRoi:
     def test_level_assignment(self, rng):
