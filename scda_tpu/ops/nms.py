@@ -108,7 +108,7 @@ def nms(
     iou_threshold: float,
     max_output: int,
     valid: jnp.ndarray | None = None,
-    tile_size: int = 256,
+    tile_size: int = 512,
     impl: str | None = None,
     pre_sorted: bool = False,
 ) -> NmsResult:
@@ -120,7 +120,9 @@ def nms(
       iou_threshold: suppress boxes with IoU > threshold against a kept box.
       max_output: fixed number of outputs (ref post_nms_top_n).
       valid: optional (N,) bool mask; invalid boxes are ignored.
-      tile_size: boxes processed per sequential step.
+      tile_size: boxes processed per sequential step (512 measured
+        fastest on v5e for both train- and test-size problems: half the
+        sequential steps of 256 at still-tiny per-tile matrices).
       impl: "pallas" | "lax" | None (auto; SCDA_NMS_IMPL overrides).
       pre_sorted: the caller guarantees boxes are already in descending
         score order with invalid slots at the end (true straight out of
@@ -226,7 +228,7 @@ def batched_nms(
     iou_threshold: float,
     max_output: int,
     valid: jnp.ndarray | None = None,
-    tile_size: int = 256,
+    tile_size: int = 512,
     impl: str | None = None,
     pre_sorted: bool = False,
 ) -> NmsResult:
