@@ -36,7 +36,9 @@ def parse_args(argv=None):
                         "(ref test_net.py --vis)")
     p.add_argument("--vis_count", type=int, default=8)
     p.add_argument("--vis_thresh", type=float, default=0.3)
-    p.add_argument("--num_devices", type=int, default=0)
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="mesh size for sharded eval (0 = all visible "
+                        "devices); --bs must be divisible by it")
     p.add_argument("--set", dest="set_cfgs", nargs="*", default=[])
     p.add_argument("--synth_images", type=int, default=8)
     p.add_argument("--synth_size", type=int, nargs=2, default=None,
@@ -64,9 +66,12 @@ def main(argv=None) -> int:
     ckpt_ds0 = args.checkpoint_dataset or args.dataset
     cfg_json = os.path.join(args.load_dir, args.net, ckpt_ds0,
                             "config.json")
+    state_kind = None
     if os.path.exists(cfg_json):
         with open(cfg_json) as f:
-            saved = json.load(f)["config"]
+            meta = json.load(f)
+        saved = meta["config"]
+        state_kind = meta.get("state_kind")
         cfg = _merge_into(cfg, {"model": saved.get("model", {}),
                                 "anchors": saved.get("anchors", {})})
         print(f"architecture from {cfg_json}")
@@ -109,15 +114,15 @@ def main(argv=None) -> int:
     save_dir = os.path.join(args.load_dir, args.net, ckpt_ds)
     step = ckpt.latest_step(save_dir)
     if step is not None:
+        if state_kind is None:
+            # Checkpoints from before the config.json marker: probe the
+            # saved tree layout (metadata only, no array reads).  An
+            # SCDA state nests the detector under 'det'.
+            keys = ckpt.checkpoint_top_level_keys(save_dir,
+                                                  args.checkpoint_step)
+            state_kind = "scda" if "det" in keys else "det"
         template = create_train_state(cfg, params)
-        try:
-            restored = ckpt.restore_checkpoint(save_dir, template,
-                                               args.checkpoint_step)
-            params = restored.params
-            print(f"loaded checkpoint step {args.checkpoint_step or step} "
-                  f"from {save_dir}")
-        except Exception as e:
-            # SCDA checkpoints nest the detector state under .det.
+        if state_kind == "scda":
             from scda_tpu.adapt.scda import (
                 create_scda_state, init_discriminator,
             )
@@ -128,13 +133,37 @@ def main(argv=None) -> int:
             restored = ckpt.restore_checkpoint(save_dir, template,
                                                args.checkpoint_step)
             params = restored.det.params
-            print(f"loaded SCDA checkpoint from {save_dir}")
+            print(f"loaded SCDA checkpoint step "
+                  f"{args.checkpoint_step or step} from {save_dir}")
+        else:
+            restored = ckpt.restore_checkpoint(save_dir, template,
+                                               args.checkpoint_step)
+            params = restored.params
+            print(f"loaded checkpoint step {args.checkpoint_step or step} "
+                  f"from {save_dir}")
     else:
         print(f"WARNING: no checkpoint under {save_dir}; evaluating "
               f"random init", file=sys.stderr)
 
+    # Sharded eval over the device mesh (the reference's test_net.py ran
+    # strictly bs=1 on one GPU; here per-class NMS and postprocess run
+    # sharded on device and only fixed-size detections come home).
+    from scda_tpu.parallel.mesh import make_mesh, replicate
+
+    cfg = replace_path(cfg, "mesh.num_devices", args.num_devices)
+    mesh = make_mesh(cfg.mesh)
+    n_dev = mesh.devices.size
+    if args.bs % n_dev:
+        print(f"--bs {args.bs} not divisible by mesh size {n_dev}",
+              file=sys.stderr)
+        return 2
+    if n_dev > 1:
+        params = replicate(mesh, params)
+        print(f"eval mesh: {n_dev} device(s)")
+
     all_dets, ips = run_inference(
-        model, params, dataset, cfg, batch_size=args.bs, progress=True,
+        model, params, dataset, cfg, batch_size=args.bs,
+        mesh=mesh if n_dev > 1 else None, progress=True,
     )
     from scda_tpu.evals.voc_eval import evaluate_detections
 

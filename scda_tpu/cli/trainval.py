@@ -239,7 +239,12 @@ def main(argv=None) -> int:
         import json as _json
 
         _json.dump({"config": _dc.asdict(cfg),
-                    "classes": list(src_ds.classes)}, f, indent=1)
+                    "classes": list(src_ds.classes),
+                    # Checkpoint layout marker: eval uses this to build
+                    # the right restore template (SCDA nests the
+                    # detector state under .det).
+                    "state_kind": "scda" if args.adapt else "det"}, f,
+                   indent=1)
     if args.resume:
         step0 = ckpt.latest_step(save_dir)
         if step0 is not None:
@@ -305,6 +310,7 @@ def main(argv=None) -> int:
                 path = ckpt.save_checkpoint(save_dir, state, step)
                 print(f"checkpoint -> {path}", flush=True)
     jax.block_until_ready(state.step)
+    ckpt.wait_for_saves()  # async writes must be durable before exit
     logger.close()
     if t_train0 is not None and step > first_sync_step:
         avg = (step - first_sync_step) * args.bs / (

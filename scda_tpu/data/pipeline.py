@@ -219,7 +219,10 @@ class DataLoader:
         if self.pad_final:
             pad = (-len(idx)) % self.batch_size
             if pad:
-                idx = np.concatenate([idx, idx[:pad]])
+                # Tile so pad > len(idx) (batch_size > dataset) still
+                # fills the batch to the static size.
+                fill = np.tile(idx, -(-pad // len(idx)))[:pad]
+                idx = np.concatenate([idx, fill])
             return idx
         # Drop ragged tail so every batch has the static batch size
         # (the reference relied on its sampler for the same invariant).

@@ -1,7 +1,10 @@
 """ctypes loader for the native host-side data-prep library.
 
-Builds ``libscda_prep.so`` from prep.cc on first use (cached next to the
-source; rebuilt when the source is newer), exposing:
+Builds the shared library from prep.cc on first use.  The cache file name
+embeds a content hash of prep.cc (``libscda_prep-<hash>.so``) so a stale
+binary can never be loaded after a source change, and the build writes to
+a temp file and atomically renames so concurrent first-use builds race
+safely.  The library is never committed to git.  Exposes:
 
   * :func:`prep_image_native` — bilinear resize + mean-subtract + canvas
     paste + optional flip (the reference's cv2-based prep_im_for_blob hot
@@ -18,6 +21,7 @@ compute the *same* math (tests pin equality).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -27,24 +31,30 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "prep.cc")
-_LIB_PATH = os.path.join(_HERE, "libscda_prep.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
+def _lib_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_HERE, f"libscda_prep-{digest}.so")
+
+
+def _build(lib_path: str) -> bool:
+    tmp = f"{lib_path}.tmp.{os.getpid()}"
     cmds = [
-        ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", _SRC,
-         "-o", _LIB_PATH],
+        ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", _SRC, "-o", tmp],
         # Fallback without OpenMP.
-        ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB_PATH],
+        ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
     ]
     for cmd in cmds:
         try:
             r = subprocess.run(cmd, capture_output=True, timeout=120)
             if r.returncode == 0:
+                os.replace(tmp, lib_path)
                 return True
         except (OSError, subprocess.TimeoutExpired):
             return False
@@ -60,13 +70,10 @@ def _load() -> Optional[ctypes.CDLL]:
         if os.environ.get("SCDA_NATIVE", "1") == "0":
             return None
         try:
-            stale = (
-                not os.path.exists(_LIB_PATH)
-                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
-            )
-            if stale and not _build():
+            lib_path = _lib_path()
+            if not os.path.exists(lib_path) and not _build(lib_path):
                 return None
-            lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(lib_path)
         except OSError:
             return None
 
@@ -100,6 +107,12 @@ def prep_image_native(
     lib = _load()
     if lib is None:
         raise RuntimeError("native prep library unavailable")
+    if img.size == 0:
+        raise ValueError("prep_image_native: empty image")
+    if out_hw[0] > canvas_hw[0] or out_hw[1] > canvas_hw[1]:
+        raise ValueError(
+            f"prep_image_native: out_hw {tuple(out_hw)} exceeds canvas "
+            f"{tuple(canvas_hw)} (the C++ kernel does not bounds-check)")
     img = np.ascontiguousarray(img, np.float32)
     mean = np.ascontiguousarray(mean, np.float32)
     canvas = np.empty((canvas_hw[0], canvas_hw[1], 3), np.float32)

@@ -1,4 +1,4 @@
-"""Orbax checkpointing: step-granular save/resume.
+"""Orbax checkpointing: step-granular, asynchronous save/resume.
 
 Rebuild of ref ``save_checkpoint`` (lib/model/utils/net_utils.py) +
 ``--r --checksession/checkepoch/checkpoint`` resume (trainval_net.py:~250).
@@ -7,45 +7,88 @@ The reference saves per-epoch torch pickles of
 here the full train state (params, optimizer state, step) checkpoints
 atomically with Orbax at any step granularity, exceeding the reference's
 epoch-granular resume (SURVEY.md §5).
+
+Saves are **asynchronous** (``ocp.AsyncCheckpointer``): the step loop
+only pays the device->host fetch, while serialization + disk write run
+on a background thread — important here because a full VGG16 state is
+~1.1 GB and the filesystem sits behind a relay (~60 s to write).  Call
+:func:`wait_for_saves` before process exit or before reading back a
+just-written checkpoint.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+import threading
+from typing import Any, List, Optional
 
 import jax
 import numpy as np
 
+_lock = threading.Lock()
+_async_ckptr = None
+
 
 def _checkpointer():
+    """Singleton AsyncCheckpointer (modern Orbax API, replaces the
+    deprecated PyTreeCheckpointer)."""
+    global _async_ckptr
     import orbax.checkpoint as ocp
 
-    return ocp.PyTreeCheckpointer()
+    with _lock:
+        if _async_ckptr is None:
+            _async_ckptr = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler()
+            )
+    return _async_ckptr
 
 
 def save_checkpoint(directory: str, state: Any, step: int,
-                    keep: int = 5) -> str:
-    """Save ``state`` (any pytree) under ``directory/ckpt_{step:08d}``."""
+                    keep: int = 5, wait: bool = False) -> str:
+    """Save ``state`` (any pytree) under ``directory/ckpt_{step:08d}``.
+
+    Returns immediately after the device->host fetch; the write happens
+    in the background (Orbax finalizes atomically via tmp-dir + rename).
+    ``wait=True`` blocks until the write is durable.
+    """
+    import orbax.checkpoint as ocp
+
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"ckpt_{step:08d}")
     ckptr = _checkpointer()
     state = jax.device_get(state)
-    ckptr.save(path, state, force=True)
-    _prune(directory, keep)
+    ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+    # Prune finalized older checkpoints; the in-flight one is still
+    # writing to a tmp dir, so count it toward ``keep`` explicitly.
+    _prune(directory, keep, in_flight=step)
+    if wait:
+        ckptr.wait_until_finished()
     return path
 
 
-def latest_step(directory: str) -> Optional[int]:
+def wait_for_saves() -> None:
+    """Block until all in-flight async saves are durable on disk."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
+def _steps(directory: str) -> List[int]:
     if not os.path.isdir(directory):
-        return None
-    steps = [
-        int(d.split("_")[1])
-        for d in os.listdir(directory)
-        if d.startswith("ckpt_") and d.split("_")[1].isdigit()
-    ]
-    return max(steps) if steps else None
+        return []
+    out = []
+    for d in os.listdir(directory):
+        parts = d.split("_")
+        if d.startswith("ckpt_") and len(parts) == 2 and parts[1].isdigit():
+            # Skip Orbax tmp dirs (non-finalized) — they carry suffixes
+            # and fail the exact len==2 split above anyway.
+            out.append(int(parts[1]))
+    return sorted(out)
+
+
+def latest_step(directory: str) -> Optional[int]:
+    steps = _steps(directory)
+    return steps[-1] if steps else None
 
 
 def restore_checkpoint(directory: str, template: Any,
@@ -60,24 +103,50 @@ def restore_checkpoint(directory: str, template: Any,
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {directory}")
     path = os.path.join(os.path.abspath(directory), f"ckpt_{step:08d}")
-    ckptr = _checkpointer()
 
     import orbax.checkpoint as ocp
 
     target = jax.device_get(template)
-    restored = ckptr.restore(path, item=target)
+    restored = _checkpointer().restore(
+        path, args=ocp.args.StandardRestore(target)
+    )
     return jax.tree_util.tree_map(np.asarray, restored)
 
 
-def _prune(directory: str, keep: int) -> None:
+def checkpoint_top_level_keys(directory: str,
+                              step: Optional[int] = None) -> List[str]:
+    """Top-level pytree keys of a saved checkpoint, read from Orbax
+    metadata without touching array data.  Used by eval to detect the
+    state layout (an SCDA state nests the detector under ``det``)."""
+    if step is None:
+        step = latest_step(directory)
+    if step is None:
+        return []
+    path = os.path.join(os.path.abspath(directory), f"ckpt_{step:08d}")
+    try:
+        meta = _checkpointer().metadata(path)
+        tree = getattr(meta, "item_metadata", meta)
+        if hasattr(tree, "tree"):
+            tree = tree.tree
+        if isinstance(tree, dict):
+            return list(tree.keys())
+        return [f.name for f in getattr(tree, "__dataclass_fields__",
+                                        {}).values()] or list(
+            getattr(tree, "keys", lambda: [])())
+    except Exception:
+        return []
+
+
+def _prune(directory: str, keep: int,
+           in_flight: Optional[int] = None) -> None:
     if keep <= 0:
         return
-    steps = sorted(
-        int(d.split("_")[1])
-        for d in os.listdir(directory)
-        if d.startswith("ckpt_") and d.split("_")[1].isdigit()
-    )
-    for s in steps[:-keep]:
+    steps = set(_steps(directory))
+    if in_flight is not None:
+        steps.add(in_flight)
+    for s in sorted(steps)[:-keep]:
+        if s == in_flight:
+            continue
         import shutil
 
         shutil.rmtree(os.path.join(directory, f"ckpt_{s:08d}"),

@@ -31,9 +31,11 @@ class TestCheckpoint:
         params = init_params(model, jax.random.key(0), (1, 64, 96, 3))
         state = create_train_state(cfg, params)
 
-        path = ckpt.save_checkpoint(str(tmp_path), state, 7)
+        path = ckpt.save_checkpoint(str(tmp_path), state, 7, wait=True)
         assert os.path.isdir(path)
         assert ckpt.latest_step(str(tmp_path)) == 7
+        # Layout probe (used by eval to pick the restore template).
+        assert "params" in ckpt.checkpoint_top_level_keys(str(tmp_path))
 
         template = create_train_state(cfg, init_params(
             model, jax.random.key(1), (1, 64, 96, 3)))
@@ -50,11 +52,26 @@ class TestCheckpoint:
         state = {"x": np.arange(3)}
         for s in range(1, 8):
             ckpt.save_checkpoint(str(tmp_path), state, s, keep=3)
+        ckpt.wait_for_saves()
         steps = sorted(
             int(d.split("_")[1]) for d in os.listdir(tmp_path)
             if d.startswith("ckpt_")
         )
         assert steps == [5, 6, 7]
+
+    def test_async_save_is_nonblocking_then_durable(self, tmp_path):
+        """save_checkpoint returns before the write is final (async);
+        wait_for_saves makes it durable and restorable."""
+        from scda_tpu.train import checkpoint as ckpt
+
+        state = {"w": np.random.RandomState(0).rand(64, 64).astype(
+            np.float32)}
+        ckpt.save_checkpoint(str(tmp_path), state, 3)
+        ckpt.wait_for_saves()
+        assert ckpt.latest_step(str(tmp_path)) == 3
+        restored = ckpt.restore_checkpoint(str(tmp_path), {"w": np.zeros(
+            (64, 64), np.float32)})
+        np.testing.assert_array_equal(restored["w"], state["w"])
 
 
 class TestTorchConvert:
