@@ -86,9 +86,13 @@ class ModelConfig:
     num_classes: int = 9             # cityscapes: 8 fg + background
     feat_stride: int = 16
     rpn_channels: int = 512
-    pooling_mode: str = "align"      # ref cfg.POOLING_MODE: align | pool
+    # ref cfg.POOLING_MODE. "align" = torchvision-spec RoIAlign;
+    # "align_legacy" = the reference CUDA kernel's crop-and-resize
+    # semantics (use with converted reference weights); "pool" | "crop".
+    pooling_mode: str = "align"
     pooling_size: int = 7            # ref cfg.POOLING_SIZE
-    sampling_ratio: int = 2          # RoIAlign samples per bin edge
+    sampling_ratio: int = 2          # RoIAlign samples per bin edge;
+                                     # 0 = torchvision adaptive rule
     class_agnostic: bool = False
     truncated_init: bool = False     # ref TRAIN.TRUNCATED
     compute_dtype: str = "bfloat16"  # MXU-native matmul/conv dtype

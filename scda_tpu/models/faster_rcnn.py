@@ -22,7 +22,8 @@ from scda_tpu.models.backbones.resnet import ResNetBackbone, ResNetC4Head
 from scda_tpu.models.backbones.vgg import VGG16Backbone, VGG16Head
 from scda_tpu.models.rpn import RPNHead
 from scda_tpu.ops.roi_ops import (
-    roi_align, roi_align_grouped, roi_crop, roi_pool,
+    roi_align, roi_align_grouped, roi_align_legacy,
+    roi_align_legacy_grouped, roi_crop, roi_pool,
 )
 
 
@@ -150,6 +151,19 @@ def pool_rois(
     """
     p = output_size or cfg.pooling_size
     grouped = rois.ndim == 3
+    if cfg.pooling_mode == "align_legacy":
+        # Reference-lineage crop-and-resize semantics (use when running
+        # converted reference checkpoints; see ops/roi_ops.py).
+        if grouped:
+            out = roi_align_legacy_grouped(
+                feat, rois, output_size=p,
+                spatial_scale=1.0 / cfg.feat_stride,
+            )
+            return out.reshape((-1,) + out.shape[2:])
+        return roi_align_legacy(
+            feat, rois, batch_indices, output_size=p,
+            spatial_scale=1.0 / cfg.feat_stride,
+        )
     if cfg.pooling_mode == "align":
         if grouped:
             out = roi_align_grouped(

@@ -9,12 +9,20 @@ Design notes (not a port):
     a hand-written backward.  Here both ops are expressed as vectorized
     gathers from the (flattened) feature map — XLA differentiates them for
     free (gather -> scatter-add), so no custom backward is required for
-    correctness.  A Pallas forward kernel that keeps the feature map in
-    VMEM lives in ``scda_tpu.ops.pallas`` for the hot path.
-  * RoI Align follows the torchvision/Detectron sampling spec
-    (``sampling_ratio`` bilinear samples per bin edge, averaged), with the
-    ``aligned`` half-pixel option.  Semantics are pinned by the numpy
-    oracle in tests/test_roi_ops.py.
+    correctness.  The hot path is the MXU matmul formulation
+    (:func:`roi_align_grouped`), measured faster than the gather form.
+  * RoI Align comes in TWO semantics, config-switchable:
+      - :func:`roi_align` — torchvision/Detectron spec (``sampling_ratio``
+        bilinear samples per bin edge, averaged; ``sampling_ratio=0`` =
+        per-roi adaptive count, like torchvision), ``aligned`` half-pixel
+        option.
+      - :func:`roi_align_legacy` — the reference lineage's crop-and-resize
+        style kernel (ref lib/model/roi_align/src/roi_align_kernel.cu:
+        ~20-270): ONE bilinear sample per output element at bin-corner
+        grid points, bin size roi/(P-1) with the +1 roi-size convention,
+        zero outside the map, floor clamped to size-2 (which extrapolates
+        in the last half-cell exactly as the CUDA kernel does).
+    Both are pinned by element-wise numpy oracles in tests/test_roi_ops.py.
   * RoI Pool keeps the reference's *exact* quantized max-pool semantics —
     variable-size bins are handled by gathering a static ``max_bin``-sized
     window per bin (bounded at trace time by ceil(feat_size / pool) + 1)
@@ -93,7 +101,9 @@ def roi_align(
       batch_indices: (R,) int32, which image each roi comes from.
       output_size: pooled side P (ref cfg.POOLING_SIZE = 7).
       spatial_scale: feature stride reciprocal (ref 1/16).
-      sampling_ratio: bilinear samples per bin edge (static; ref adaptive).
+      sampling_ratio: bilinear samples per bin edge; 0 = torchvision's
+        adaptive rule (per-roi ceil(roi_size / P), computed under a
+        static bound with masked samples).
       aligned: half-pixel offset correction (torchvision ``aligned=True``).
 
     Returns:
@@ -102,7 +112,10 @@ def roi_align(
     boxes, bidx = _split_rois(rois, batch_indices)
     b, height, width, c = features.shape
     p = output_size
-    s = max(int(sampling_ratio), 1)
+    adaptive = int(sampling_ratio) <= 0
+    # Static sample bound: adaptive S = ceil(roi/P) <= ceil(size/P).
+    s = (max(-(-max(height, width) // p), 1) if adaptive
+         else max(int(sampling_ratio), 1))
 
     orig_dtype = features.dtype
     flat = features.reshape(b * height * width, c).astype(jnp.float32)
@@ -123,12 +136,24 @@ def roi_align(
     bin_w = roi_w / p
     bin_h = roi_h / p
 
+    if adaptive:
+        # Per-roi sample counts (traced values; shapes stay static).
+        sy = jnp.clip(jnp.ceil(roi_h / p), 1, s)        # (R,)
+        sx = jnp.clip(jnp.ceil(roi_w / p), 1, s)
+    else:
+        sy = sx = jnp.full(boxes.shape[:1], float(s), jnp.float32)
+
     # Sample grid: (P, S) fractional offsets within the roi, per axis.
     ph = jnp.arange(p, dtype=jnp.float32)
-    iy = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    k = jnp.arange(s, dtype=jnp.float32)
+    # (R, S) in-bin offsets and validity per axis.
+    iy = (k[None, :] + 0.5) / sy[:, None]
+    ix = (k[None, :] + 0.5) / sx[:, None]
+    my = k[None, :] < sy[:, None]                        # (R, S)
+    mx = k[None, :] < sx[:, None]
     # (R, P, S) absolute coords per axis.
-    ys = y1[:, None, None] + (ph[None, :, None] + iy[None, None, :]) * bin_h[:, None, None]
-    xs = x1[:, None, None] + (ph[None, :, None] + iy[None, None, :]) * bin_w[:, None, None]
+    ys = y1[:, None, None] + (ph[None, :, None] + iy[:, None, :]) * bin_h[:, None, None]
+    xs = x1[:, None, None] + (ph[None, :, None] + ix[:, None, :]) * bin_w[:, None, None]
 
     # Broadcast to the full (R, P, S, P, S) sample lattice.
     yy = ys[:, :, :, None, None]
@@ -137,8 +162,13 @@ def roi_align(
 
     batch_offset = (bidx * (height * width))[:, None, None, None, None]
     vals = _bilinear_gather(flat, batch_offset, yy, xx, height, width)
-    # Average the S*S samples per bin.
-    out = vals.reshape(boxes.shape[0], p, s, p, s, c).mean(axis=(2, 4))
+    # Average the valid samples per bin.
+    mm = (my[:, None, :, None, None] & mx[:, None, None, None, :])
+    mm = jnp.broadcast_to(mm, yy.shape)[..., None].astype(jnp.float32)
+    r = boxes.shape[0]
+    num = (vals * mm).reshape(r, p, s, p, s, c).sum(axis=(2, 4))
+    den = (sy * sx)[:, None, None, None]
+    out = num / den
     return out.astype(orig_dtype)
 
 
@@ -240,16 +270,23 @@ def roi_pool(
 # float summation order differs).
 
 
-def _axis_weights(coords: jnp.ndarray, size: int) -> jnp.ndarray:
+def _axis_weights(coords: jnp.ndarray, size: int,
+                  sample_mask: jnp.ndarray | None = None,
+                  denom: jnp.ndarray | float | None = None) -> jnp.ndarray:
     """Per-sample bilinear weights scattered onto the feature grid.
 
     coords: (..., S) fractional sample coordinates along one axis.
-    Returns (..., size): sum over the S samples of their two-tap bilinear
-    weights (torchvision border rules: points outside [-1, size] drop,
-    in-range points clamp), divided by S (the per-bin average).
+    sample_mask: optional (..., S) {0,1} — inactive samples (adaptive
+    sampling_ratio under the static bound) contribute nothing.
+    denom: per-roi sample count to average by (default: static S).
+    Returns (..., size): sum over the active samples of their two-tap
+    bilinear weights (torchvision border rules: points outside
+    [-1, size] drop, in-range points clamp), divided by ``denom``.
     """
     s = coords.shape[-1]
     valid = ((coords >= -1.0) & (coords <= float(size))).astype(jnp.float32)
+    if sample_mask is not None:
+        valid = valid * sample_mask
     c = jnp.clip(coords, 0.0, size - 1.0)
     c0 = jnp.floor(c)
     low = c0.astype(jnp.int32)                       # (..., S)
@@ -262,7 +299,9 @@ def _axis_weights(coords: jnp.ndarray, size: int) -> jnp.ndarray:
         w_low[..., None] * (grid == low[..., None])
         + w_high[..., None] * (grid == high[..., None])
     )                                                # (..., S, size)
-    return jnp.sum(w, axis=-2) / float(s)
+    if denom is None:
+        denom = float(s)
+    return jnp.sum(w, axis=-2) / denom
 
 
 def roi_align_grouped(
@@ -280,7 +319,9 @@ def roi_align_grouped(
     """
     b, height, width, c = features.shape
     p = output_size
-    s = max(int(sampling_ratio), 1)
+    adaptive = int(sampling_ratio) <= 0
+    s = (max(-(-max(height, width) // p), 1) if adaptive
+         else max(int(sampling_ratio), 1))
     orig_dtype = features.dtype
 
     boxes = jax.lax.stop_gradient(rois.astype(jnp.float32))
@@ -298,27 +339,169 @@ def roi_align_grouped(
     bin_h = roi_h / p
 
     ph = jnp.arange(p, dtype=jnp.float32)            # (P,)
-    frac = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s  # (S,)
+    k = jnp.arange(s, dtype=jnp.float32)             # (S,)
+    if adaptive:
+        sy = jnp.clip(jnp.ceil(roi_h / p), 1, s)     # (B, R)
+        sx = jnp.clip(jnp.ceil(roi_w / p), 1, s)
+        fy = (k + 0.5) / sy[..., None]               # (B, R, S)
+        fx = (k + 0.5) / sx[..., None]
+        my = (k < sy[..., None]).astype(jnp.float32)
+        mx = (k < sx[..., None]).astype(jnp.float32)
+        my = jnp.broadcast_to(my[..., None, :], (b, rois.shape[1], p, s))
+        mx = jnp.broadcast_to(mx[..., None, :], (b, rois.shape[1], p, s))
+        dy, dx = sy[..., None, None], sx[..., None, None]
+    else:
+        fy = fx = jnp.broadcast_to((k + 0.5) / s, boxes.shape[:2] + (s,))
+        my = mx = None
+        dy = dx = None
     # (B, R, P, S) absolute sample coordinates per axis.
     ys = (
         y1[..., None, None]
-        + (ph[None, None, :, None] + frac[None, None, None, :])
+        + (ph[None, None, :, None] + fy[..., None, :])
         * bin_h[..., None, None]
     )
     xs = (
         x1[..., None, None]
-        + (ph[None, None, :, None] + frac[None, None, None, :])
+        + (ph[None, None, :, None] + fx[..., None, :])
         * bin_w[..., None, None]
     )
 
-    wy = _axis_weights(ys, height)                   # (B, R, P, H)
-    wx = _axis_weights(xs, width)                    # (B, R, P, W)
+    wy = _axis_weights(ys, height, my, dy)           # (B, R, P, H)
+    wx = _axis_weights(xs, width, mx, dx)            # (B, R, P, W)
 
     feat = features.astype(jnp.float32)
     # (B, R, P, H) x (B, H, W, C) -> (B, R, P, W, C)
     tmp = jnp.einsum("brph,bhwc->brpwc", wy, feat,
                      preferred_element_type=jnp.float32)
     # (B, R, Q, W) x (B, R, P, W, C) -> (B, R, P, Q, C)
+    out = jnp.einsum("brqw,brpwc->brpqc", wx, tmp,
+                     preferred_element_type=jnp.float32)
+    return out.astype(orig_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Legacy (reference-lineage) RoI Align semantics
+# ---------------------------------------------------------------------------
+#
+# The reference's roi_align_kernel.cu (ref lib/model/roi_align/src/
+# roi_align_kernel.cu:~20-270, crop-and-resize lineage) differs from the
+# torchvision spec in every detail that matters for weight-parity:
+#   * roi size uses the +1 convention: roi_w = max(x2s - x1s + 1, 0);
+#   * bin size divides by (P - 1), so the P sample points span the roi
+#     corner-to-corner (a resize grid, not bin centers);
+#   * ONE bilinear sample per output element (no sampling_ratio average);
+#   * a sample outside [0, size) writes 0;
+#   * in-range samples take floor() clamped to size-2, so the last
+#     half-cell *extrapolates* (ratio > 1) — reproduced bit-for-bit here.
+# Use ``pooling_mode="align_legacy"`` when evaluating converted reference
+# checkpoints; mAP parity within 0.5 can hinge on this (VERDICT r1 #2).
+
+
+def _legacy_sample_coords(boxes, spatial_scale, p):
+    """(y, x) bin-corner sample lattice coords per axis, legacy rules."""
+    x1 = boxes[..., 0] * spatial_scale
+    y1 = boxes[..., 1] * spatial_scale
+    x2 = boxes[..., 2] * spatial_scale
+    y2 = boxes[..., 3] * spatial_scale
+    roi_w = jnp.maximum(x2 - x1 + 1.0, 0.0)
+    roi_h = jnp.maximum(y2 - y1 + 1.0, 0.0)
+    d = float(max(p - 1, 1))
+    bin_w = roi_w / d
+    bin_h = roi_h / d
+    ph = jnp.arange(p, dtype=jnp.float32)
+    ys = y1[..., None] + ph * bin_h[..., None]       # (..., P)
+    xs = x1[..., None] + ph * bin_w[..., None]
+    return ys, xs
+
+
+def _legacy_axis_weights(coords: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Two-tap legacy bilinear weights scattered onto the grid.
+
+    coords: (..., P) sample coordinate along one axis.  Out-of-range
+    ([0, size)) rows are all-zero (the kernel writes 0); in-range rows
+    put (1-ratio, ratio) at (start, start+1) with start = min(floor(c),
+    size-2) — ratio may exceed 1 in the last half-cell (extrapolation),
+    exactly as the CUDA kernel computes it.
+    """
+    valid = ((coords >= 0.0) & (coords < float(size))).astype(jnp.float32)
+    start = jnp.minimum(jnp.floor(coords), size - 2).astype(jnp.int32)
+    start = jnp.maximum(start, 0)
+    ratio = coords - start.astype(jnp.float32)
+    grid = jnp.arange(size, dtype=jnp.int32)
+    w = (
+        ((1.0 - ratio) * valid)[..., None] * (grid == start[..., None])
+        + (ratio * valid)[..., None] * (grid == (start + 1)[..., None])
+    )                                                # (..., P, size)
+    return w
+
+
+def roi_align_legacy(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    batch_indices: jnp.ndarray | None = None,
+    *,
+    output_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+) -> jnp.ndarray:
+    """Reference-lineage RoI Align (flat rois form).  Returns (R, P, P, C)."""
+    boxes, bidx = _split_rois(rois, batch_indices)
+    b, height, width, c = features.shape
+    p = output_size
+    orig_dtype = features.dtype
+    flat = features.reshape(b * height * width, c).astype(jnp.float32)
+    boxes = jax.lax.stop_gradient(boxes.astype(jnp.float32))
+
+    ys, xs = _legacy_sample_coords(boxes, spatial_scale, p)  # (R, P)
+    valid = (
+        ((ys >= 0.0) & (ys < height))[:, :, None]
+        & ((xs >= 0.0) & (xs < width))[:, None, :]
+    )                                                 # (R, P, P)
+    ystart = jnp.clip(jnp.floor(ys), 0, height - 2)
+    xstart = jnp.clip(jnp.floor(xs), 0, width - 2)
+    ry = (ys - ystart)[:, :, None, None]              # (R, P, 1, 1)
+    rx = (xs - xstart)[:, None, :, None]              # (R, 1, P, 1)
+    y0 = ystart.astype(jnp.int32)[:, :, None]
+    x0 = xstart.astype(jnp.int32)[:, None, :]
+    batch_offset = (bidx * (height * width))[:, None, None]
+
+    def g(yy, xx):
+        return jnp.take(flat, batch_offset + yy * width + xx, axis=0)
+
+    val = (
+        (1 - ry) * (1 - rx) * g(y0, x0)
+        + (1 - ry) * rx * g(y0, x0 + 1)
+        + ry * (1 - rx) * g(y0 + 1, x0)
+        + ry * rx * g(y0 + 1, x0 + 1)
+    )
+    out = jnp.where(valid[..., None], val, 0.0)
+    return out.astype(orig_dtype)
+
+
+def roi_align_legacy_grouped(
+    features: jnp.ndarray,   # (B, H, W, C)
+    rois: jnp.ndarray,       # (B, R, 4)
+    *,
+    output_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+) -> jnp.ndarray:
+    """Reference-lineage RoI Align as two MXU contractions (fast path).
+
+    The legacy kernel is separable like the torchvision one: the
+    out-of-range-to-zero rule factorizes because a zero weight row on
+    either axis zeroes the product.  Returns (B, R, P, P, C).
+    """
+    b, height, width, c = features.shape
+    p = output_size
+    orig_dtype = features.dtype
+    boxes = jax.lax.stop_gradient(rois.astype(jnp.float32))
+
+    ys, xs = _legacy_sample_coords(boxes, spatial_scale, p)  # (B, R, P)
+    wy = _legacy_axis_weights(ys, height)            # (B, R, P, H)
+    wx = _legacy_axis_weights(xs, width)             # (B, R, P, W)
+
+    feat = features.astype(jnp.float32)
+    tmp = jnp.einsum("brph,bhwc->brpwc", wy, feat,
+                     preferred_element_type=jnp.float32)
     out = jnp.einsum("brqw,brpwc->brpqc", wx, tmp,
                      preferred_element_type=jnp.float32)
     return out.astype(orig_dtype)

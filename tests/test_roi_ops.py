@@ -233,6 +233,178 @@ class TestRoiAlignGrouped:
         assert np.abs(np.asarray(g)).max() > 0
 
 
+def np_roi_align_adaptive(feat, box, P, scale):
+    """torchvision adaptive sampling_ratio oracle: s = ceil(roi/P)."""
+    x1, y1, x2, y2 = [v * scale for v in box]
+    rw, rh = max(x2 - x1, 1.0), max(y2 - y1, 1.0)
+    bw, bh = rw / P, rh / P
+    sh = max(int(np.ceil(rh / P)), 1)
+    sw = max(int(np.ceil(rw / P)), 1)
+    out = np.zeros((P, P, feat.shape[-1]), np.float64)
+    for ph in range(P):
+        for pw in range(P):
+            acc = np.zeros(feat.shape[-1], np.float64)
+            for iy in range(sh):
+                for ix in range(sw):
+                    y = y1 + (ph + (iy + 0.5) / sh) * bh
+                    x = x1 + (pw + (ix + 0.5) / sw) * bw
+                    acc += np_bilinear(feat, y, x)
+            out[ph, pw] = acc / (sh * sw)
+    return out
+
+
+def np_roi_align_legacy(feat, box, P, scale):
+    """Element-wise transcription of the reference CUDA kernel
+    (roi_align_kernel.cu:~20-270, crop-and-resize lineage)."""
+    H, W, C = feat.shape
+    x1, y1, x2, y2 = [v * scale for v in box]
+    rw = max(x2 - x1 + 1.0, 0.0)
+    rh = max(y2 - y1 + 1.0, 0.0)
+    bh = rh / max(P - 1, 1)
+    bw = rw / max(P - 1, 1)
+    out = np.zeros((P, P, C), np.float64)
+    for ph in range(P):
+        for pw in range(P):
+            h = ph * bh + y1
+            w = pw * bw + x1
+            if h < 0 or h >= H or w < 0 or w >= W:
+                continue
+            hs = min(int(np.floor(h)), H - 2)
+            ws = min(int(np.floor(w)), W - 2)
+            hr, wr = h - hs, w - ws
+            out[ph, pw] = (
+                (1 - hr) * (1 - wr) * feat[hs, ws]
+                + (1 - hr) * wr * feat[hs, ws + 1]
+                + hr * (1 - wr) * feat[hs + 1, ws]
+                + hr * wr * feat[hs + 1, ws + 1]
+            )
+    return out
+
+
+class TestRoiAlignAdaptive:
+    def test_matches_adaptive_oracle(self, rng):
+        feat = rng.randn(2, 16, 24, 6).astype(np.float32)
+        rois = random_rois(rng, 10, 256, 384)
+        bidx = rng.randint(0, 2, 10).astype(np.int32)
+        got = np.asarray(
+            roi_align(
+                jnp.array(feat), jnp.array(rois), jnp.array(bidx),
+                output_size=7, spatial_scale=1 / 16, sampling_ratio=0,
+            )
+        )
+        for i in range(10):
+            want = np_roi_align_adaptive(feat[bidx[i]], rois[i], 7, 1 / 16)
+            np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
+
+    def test_grouped_matches_gather(self, rng):
+        from scda_tpu.ops.roi_ops import roi_align_grouped
+
+        b, h, w, c, r, p = 2, 16, 24, 8, 9, 7
+        feat = rng.randn(b, h, w, c).astype(np.float32)
+        rois = np.stack(
+            [random_rois(rng, r, h * 16, w * 16) for _ in range(b)]
+        )
+        grouped = roi_align_grouped(
+            jnp.asarray(feat), jnp.asarray(rois),
+            output_size=p, spatial_scale=1 / 16.0, sampling_ratio=0,
+        )
+        flat = roi_align(
+            jnp.asarray(feat), jnp.asarray(rois.reshape(b * r, 4)),
+            jnp.repeat(jnp.arange(b, dtype=jnp.int32), r),
+            output_size=p, spatial_scale=1 / 16.0, sampling_ratio=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(grouped).reshape(b * r, p, p, c),
+            np.asarray(flat), rtol=1e-4, atol=1e-4,
+        )
+
+
+class TestRoiAlignLegacy:
+    """Reference-lineage (crop-and-resize style) RoIAlign — the mode to
+    use with converted reference checkpoints (VERDICT r1 missing #2)."""
+
+    def test_matches_cuda_kernel_oracle(self, rng):
+        from scda_tpu.ops.roi_ops import roi_align_legacy
+
+        feat = rng.randn(2, 16, 24, 6).astype(np.float32)
+        rois = random_rois(rng, 12, 256, 384)
+        bidx = rng.randint(0, 2, 12).astype(np.int32)
+        got = np.asarray(
+            roi_align_legacy(
+                jnp.array(feat), jnp.array(rois), jnp.array(bidx),
+                output_size=7, spatial_scale=1 / 16,
+            )
+        )
+        for i in range(12):
+            want = np_roi_align_legacy(feat[bidx[i]], rois[i], 7, 1 / 16)
+            np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
+
+    def test_oob_and_extrapolation_rows(self, rng):
+        """Boxes beyond the map exercise the write-zero rule; boxes
+        ending in the last half-cell exercise the ratio>1 extrapolation."""
+        from scda_tpu.ops.roi_ops import roi_align_legacy
+
+        h, w = 10, 12
+        feat = rng.randn(1, h, w, 3).astype(np.float32)
+        rois = np.array([
+            [-80.0, -60.0, 90.0, 70.0],          # partially oob
+            [100.0, 80.0, (w - 0.3) * 16, (h - 0.3) * 16],  # last half-cell
+            [300.0, 200.0, 900.0, 700.0],        # mostly oob right/bottom
+        ], np.float32)
+        got = np.asarray(
+            roi_align_legacy(jnp.array(feat), jnp.array(rois),
+                             jnp.zeros((3,), jnp.int32),
+                             output_size=7, spatial_scale=1 / 16)
+        )
+        for i in range(3):
+            want = np_roi_align_legacy(feat[0], rois[i], 7, 1 / 16)
+            np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
+
+    def test_grouped_matches_flat(self, rng):
+        from scda_tpu.ops.roi_ops import (
+            roi_align_legacy, roi_align_legacy_grouped,
+        )
+
+        b, h, w, c, r, p = 2, 12, 16, 8, 8, 7
+        feat = rng.randn(b, h, w, c).astype(np.float32)
+        rois = np.stack(
+            [random_rois(rng, r, h * 16, w * 16) for _ in range(b)]
+        )
+        grouped = roi_align_legacy_grouped(
+            jnp.asarray(feat), jnp.asarray(rois),
+            output_size=p, spatial_scale=1 / 16.0,
+        )
+        flat = roi_align_legacy(
+            jnp.asarray(feat), jnp.asarray(rois.reshape(b * r, 4)),
+            jnp.repeat(jnp.arange(b, dtype=jnp.int32), r),
+            output_size=p, spatial_scale=1 / 16.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(grouped).reshape(b * r, p, p, c),
+            np.asarray(flat), rtol=1e-5, atol=1e-5,
+        )
+
+    def test_pool_rois_dispatch_and_gradients(self, rng):
+        import dataclasses
+
+        from scda_tpu.config import ModelConfig
+        from scda_tpu.models.faster_rcnn import pool_rois
+
+        feat = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+        rois = jnp.asarray(rng.rand(2, 3, 4).astype(np.float32) * 60)
+        rois = rois.at[..., 2:].add(rois[..., :2] + 16)
+        cfg = ModelConfig(pooling_mode="align_legacy", pooling_size=5)
+        out = pool_rois(feat, rois, None, cfg)
+        assert out.shape == (6, 5, 5, 4)
+
+        def loss(f):
+            return jnp.sum(pool_rois(f, rois, None, cfg) ** 2)
+
+        g = jax.grad(loss)(feat)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
+
+
 def np_roi_crop(feat, box, P, scale):
     """Oracle for roi_crop: corner-inclusive (2P x 2P) bilinear grid over
     the roi, zero-padded OOB, then 2x2 max-pool."""
