@@ -100,6 +100,16 @@ def main(argv=None) -> int:
 
     cfg = replace_path(cfg, "model.num_classes", dataset.num_classes)
 
+    if (cfg.data.auto_canvas and not args.synth_size
+            and args.dataset != "synthetic"):
+        from scda_tpu.data.pipeline import infer_canvas
+
+        canvas = infer_canvas(dataset.records, cfg.data)
+        if canvas != tuple(cfg.data.image_size):
+            print(f"canvas {tuple(cfg.data.image_size)} -> {canvas} "
+                  f"(from record stats)")
+            cfg = replace_path(cfg, "data.image_size", canvas)
+
     import jax
 
     from scda_tpu.evals.detect import evaluate_model, run_inference

@@ -176,6 +176,21 @@ def main(argv=None) -> int:
     src_ds, tgt_ds = get_datasets(args, cfg)
     num_classes = src_ds.num_classes
     cfg = replace_path(cfg, "model.num_classes", num_classes)
+
+    # Derive the canvas from the records so the reference scale rule
+    # (shorter side 600, cap 1000) holds for every image — synthetic
+    # fixtures keep their explicit size.
+    if (cfg.data.auto_canvas and not args.synth_size
+            and not args.dataset.startswith("synthetic")):
+        from scda_tpu.data.pipeline import infer_canvas
+
+        recs = list(src_ds.records) + (
+            list(tgt_ds.records) if tgt_ds is not None else [])
+        canvas = infer_canvas(recs, cfg.data)
+        if canvas != tuple(cfg.data.image_size):
+            print(f"canvas {tuple(cfg.data.image_size)} -> {canvas} "
+                  f"(from record stats)")
+            cfg = replace_path(cfg, "data.image_size", canvas)
     if args.adapt and tgt_ds is None:
         print("--adapt requires --target_dataset (or synthetic)",
               file=sys.stderr)

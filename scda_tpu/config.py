@@ -187,11 +187,18 @@ class DataConfig:
     scale: int = 600                 # ref cfg.TRAIN.SCALES = (600,)
     max_size: int = 1000             # ref cfg.TRAIN.MAX_SIZE
     image_size: Tuple[int, int] = (512, 1024)  # padded canvas (H, W), /16
+    # Portrait images get the transposed canvas (and batches bucket by
+    # orientation) so the shorter-side scale rule holds for every image
+    # — the static-shape analog of the ref's aspect-ratio grouping.
+    orientation_aware: bool = True
+    # CLIs derive image_size from the dataset's records (infer_canvas)
+    # for registered real datasets; set False to pin image_size.
+    auto_canvas: bool = True
     max_gt_boxes: int = 50           # ref roibatchLoader gt padding
     pixel_means: Tuple[float, ...] = (102.9801, 115.9465, 122.7717)  # BGR, caffe
     use_flipped: bool = True         # ref cfg.TRAIN.USE_FLIPPED
-    num_workers: int = 0
-    cache_images: int = 64           # decoded-image cache entries (0 = off)
+    num_workers: int = 8             # decode threads (0 = single thread)
+    cache_mb: int = 512              # decoded-image (uint8) cache budget
 
 
 @dataclass(frozen=True)

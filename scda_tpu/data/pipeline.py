@@ -8,7 +8,10 @@ Rebuild of the reference's roi_data_layer (L4):
     per batch so a batch shares one dynamic shape.  XLA wants ONE shape:
     every image is placed top-left into a fixed ``image_size`` canvas and
     its valid extent travels in ``im_info`` — downstream ops mask instead
-    of relying on tensor bounds.
+    of relying on tensor bounds.  Portrait images get the *transposed*
+    canvas (the TPU analog of the reference's aspect-ratio grouping), and
+    the loader buckets each batch by orientation so a batch shares one
+    static shape; XLA compiles at most two programs.
   - gt boxes padded to ``max_gt_boxes`` with a count (ref pads to 20/50).
 
 Outputs mirror the reference forward signature
@@ -16,12 +19,20 @@ Outputs mirror the reference forward signature
 Pixel processing matches the caffe-lineage recipe: BGR channel order,
 mean subtraction with ``pixel_means`` (ref blob.py:~45) — required for
 drop-in compatibility with caffe-pretrained VGG/ResNet weights.
+
+Host throughput: decode + prep parallelize over a thread pool
+(``num_workers``; PIL's JPEG/PNG decoders and the native C++ prep kernel
+both release the GIL), with a bounded prefetch queue, replacing the
+reference's multi-process ``torch.utils.data.DataLoader`` workers
+(ref trainval_net.py:~280).  Decoded images cache as uint8 under a byte
+budget (``cache_mb``).
 """
 
 from __future__ import annotations
 
-import threading
 import queue as queue_mod
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -39,6 +50,8 @@ class Batch:
     im_info: np.ndarray    # (B, 3) float32: (valid_h, valid_w, scale)
     gt_boxes: np.ndarray   # (B, G, 5) float32: (x1, y1, x2, y2, class)
     num_boxes: np.ndarray  # (B,) int32
+    indices: np.ndarray    # (B,) int64 record indices (eval id mapping;
+                           # wrap-padded slots repeat earlier indices)
 
 
 def compute_scale(height: int, width: int, target: int, max_size: int) -> float:
@@ -50,13 +63,56 @@ def compute_scale(height: int, width: int, target: int, max_size: int) -> float:
     return scale
 
 
+def oriented_canvas(cfg: DataConfig, height: int, width: int) -> Tuple[int, int]:
+    """Canvas (H, W) for an image, transposed when orientations differ.
+
+    A portrait image on the landscape Cityscapes canvas would silently
+    cap its scale far below the reference's shorter-side rule (r1 VERDICT
+    weak #7); transposing the canvas is the static-shape analog of the
+    reference's aspect-ratio-grouped batching.
+    """
+    ch, cw = cfg.image_size
+    if cfg.orientation_aware and (height > width) != (ch > cw) \
+            and height != width and ch != cw:
+        return cw, ch
+    return ch, cw
+
+
+def infer_canvas(records: Sequence[ImageRecord],
+                 cfg: DataConfig) -> Tuple[int, int]:
+    """Smallest /16-aligned landscape canvas holding every record at the
+    reference scale rule (shorter side ``scale``, longer capped at
+    ``max_size``).  Portrait records count via their transpose (the
+    loader gives them the transposed canvas)."""
+    max_short = max_long = 1
+    for r in records:
+        s = compute_scale(r.height, r.width, cfg.scale, cfg.max_size)
+        short = int(round(min(r.height, r.width) * s))
+        long_ = int(round(max(r.height, r.width) * s))
+        max_short = max(max_short, short)
+        max_long = max(max_long, long_)
+
+    def up16(v: int) -> int:
+        return -(-v // 16) * 16
+
+    return up16(max_short), up16(max_long)
+
+
 def load_image(record: ImageRecord) -> np.ndarray:
     """Decode to float32 BGR HWC."""
+    return load_image_u8(record).astype(np.float32)
+
+
+def load_image_u8(record: ImageRecord) -> np.ndarray:
+    """Decode to uint8 BGR HWC (cache-friendly: 4x smaller than f32)."""
     from PIL import Image
 
     with Image.open(record.image_path) as im:
-        rgb = np.asarray(im.convert("RGB"), dtype=np.float32)
-    return rgb[:, :, ::-1]  # RGB -> BGR (caffe convention)
+        rgb = np.asarray(im.convert("RGB"))
+    # RGB -> BGR (caffe convention); materialize contiguous ONCE here —
+    # the reversed view would otherwise force a 6 MB copy per use inside
+    # the native prep call.
+    return np.ascontiguousarray(rgb[:, :, ::-1])
 
 
 def _resize_bilinear_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -83,15 +139,17 @@ def prepare_image(
     cfg: DataConfig,
     flip: bool = False,
 ) -> Tuple[np.ndarray, float, Tuple[int, int]]:
-    """Scale + mean-subtract + paste into the fixed canvas.
+    """Scale + mean-subtract + paste into the (orientation-matched) canvas.
 
-    Uses the native C++ prep kernel (scda_tpu.native) when available;
-    the numpy fallback computes identical math.
+    Accepts uint8 (decoder/cache native dtype — the C++ kernel fuses the
+    float conversion into the resample) or float32.  Uses the native C++
+    prep kernel (scda_tpu.native) when available; the numpy fallback
+    computes identical math.
 
     Returns (canvas (H, W, 3) float32, scale, (valid_h, valid_w)).
     """
     h, w = img_bgr.shape[:2]
-    canvas_h, canvas_w = cfg.image_size
+    canvas_h, canvas_w = oriented_canvas(cfg, h, w)
     scale = compute_scale(h, w, cfg.scale, cfg.max_size)
     # Never overflow the canvas.
     scale = min(scale, canvas_h / h, canvas_w / w)
@@ -101,18 +159,18 @@ def prepare_image(
 
     if native.available():
         canvas = native.prep_image_native(
-            np.ascontiguousarray(img_bgr, np.float32),
-            (canvas_h, canvas_w), (new_h, new_w),
+            img_bgr, (canvas_h, canvas_w), (new_h, new_w),
             np.asarray(cfg.pixel_means, np.float32), flip,
         )
         return canvas, scale, (new_h, new_w)
 
+    img_bgr = img_bgr.astype(np.float32)
     if flip:
         img_bgr = img_bgr[:, ::-1, :]
     if (new_h, new_w) != (h, w):
         resized = _resize_bilinear_np(img_bgr, new_h, new_w)
     else:
-        resized = img_bgr.astype(np.float32)
+        resized = img_bgr
     resized = resized - np.asarray(cfg.pixel_means, np.float32)
 
     canvas = np.zeros((canvas_h, canvas_w, 3), np.float32)
@@ -146,29 +204,47 @@ def make_example(
     record: ImageRecord, cfg: DataConfig, flip: bool = False,
     img_bgr: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
-    img = load_image(record) if img_bgr is None else img_bgr
+    img = load_image_u8(record) if img_bgr is None else img_bgr
     canvas, scale, (vh, vw) = prepare_image(img, cfg, flip)
     gt, n = prepare_gt_boxes(record, scale, cfg, flip)
     im_info = np.array([vh, vw, scale], np.float32)
     return canvas, im_info, gt, n
 
 
-def _collate(examples) -> Batch:
+def _collate(examples, indices) -> Batch:
     imgs, infos, gts, counts = zip(*examples)
     return Batch(
-        image=np.stack(imgs).astype(np.float32),
-        im_info=np.stack(infos).astype(np.float32),
-        gt_boxes=np.stack(gts).astype(np.float32),
+        # copy=False: members are freshly built float32 canvases; a
+        # same-dtype astype would copy ~6 MB per image for nothing.
+        image=np.stack(imgs).astype(np.float32, copy=False),
+        im_info=np.stack(infos).astype(np.float32, copy=False),
+        gt_boxes=np.stack(gts).astype(np.float32, copy=False),
         num_boxes=np.asarray(counts, np.int32),
+        indices=np.asarray(indices, np.int64),
     )
 
 
+def _pad_wrap(idx: np.ndarray, batch_size: int) -> np.ndarray:
+    """Wrap-pad ``idx`` up to a batch_size multiple (tiling so even
+    batch_size > len(idx) fills the static shape)."""
+    pad = (-len(idx)) % batch_size
+    if pad:
+        fill = np.tile(idx, -(-pad // len(idx)))[:pad]
+        idx = np.concatenate([idx, fill])
+    return idx
+
+
 class DataLoader:
-    """Epoch-based shuffled loader with optional background prefetch.
+    """Epoch-based shuffled loader with parallel decode + prefetch.
 
     Replaces the reference's ``torch.utils.data.DataLoader`` + ratio-grouped
     ``sampler`` (trainval_net.py:~280).  Host-side only; the arrays it
     yields are device-put by the train loop (and sharded by pjit).
+
+    Batches are orientation-bucketed: all-landscape or all-portrait, so
+    each batch has one static canvas shape (two jit signatures at most).
+    Flip decisions are pre-drawn per epoch on the main thread, so worker
+    parallelism never changes the augmentation stream.
     """
 
     def __init__(
@@ -182,6 +258,7 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 2,
         pad_final: bool = False,
+        num_workers: Optional[int] = None,
     ):
         if len(dataset) == 0:
             raise ValueError(
@@ -196,90 +273,139 @@ class DataLoader:
             cfg.use_flipped if augment_flip is None else augment_flip
         )
         self.rng = np.random.RandomState(seed)
-        self.prefetch = prefetch
-        # pad_final=True (eval): keep EVERY record; the ragged final
-        # batch is padded by wrapping to the front — consumers must
-        # ignore positions >= len(dataset).  pad_final=False (train):
-        # drop the ragged tail so epochs stay uniform.
+        self.prefetch = max(prefetch, 1)
+        self.num_workers = (cfg.num_workers if num_workers is None
+                            else num_workers)
+        # pad_final=True (eval): keep EVERY record; ragged per-orientation
+        # tails are wrap-padded — consumers dedupe via Batch.indices.
+        # pad_final=False (train): drop ragged tails so epochs stay
+        # uniform (ref sampler behaviour).
         self.pad_final = pad_final
-        # Decoded-image cache: avoids re-decoding per epoch on small
-        # datasets (the reference re-reads from disk every step too).
+        # Decoded-image cache (uint8), bounded in BYTES: r1 counted
+        # entries, and 64 full-res float32 Cityscapes frames ~ 1.6 GB.
         self._cache: dict = {}
-        self._cache_limit = cfg.cache_images
+        self._cache_bytes = 0
+        self._cache_limit = int(cfg.cache_mb) * (1 << 20)
+        self._cache_lock = threading.Lock()
+
+        self._portrait = np.array(
+            [r.height > r.width for r in dataset.records], bool
+        )
 
     def __len__(self) -> int:
+        n_land = int((~self._portrait).sum())
+        n_port = int(self._portrait.sum())
         if self.pad_final:
-            return -(-len(self.dataset) // self.batch_size)
-        return max(len(self.dataset) // self.batch_size, 1)
+            return sum(-(-n // self.batch_size)
+                       for n in (n_land, n_port) if n)
+        full = sum(n // self.batch_size for n in (n_land, n_port))
+        return max(full, 1)
 
-    def _epoch_indices(self) -> np.ndarray:
-        idx = np.arange(len(self.dataset))
-        if self.shuffle:
-            self.rng.shuffle(idx)
-        if self.pad_final:
-            pad = (-len(idx)) % self.batch_size
-            if pad:
-                # Tile so pad > len(idx) (batch_size > dataset) still
-                # fills the batch to the static size.
-                fill = np.tile(idx, -(-pad // len(idx)))[:pad]
-                idx = np.concatenate([idx, fill])
-            return idx
-        # Drop ragged tail so every batch has the static batch size
-        # (the reference relied on its sampler for the same invariant).
-        n = (len(idx) // self.batch_size) * self.batch_size
-        if n == 0:
-            # Tiny datasets: wrap around.
-            reps = -(-self.batch_size // max(len(idx), 1))
-            idx = np.tile(idx, reps)[: self.batch_size]
-            return idx
-        return idx[:n]
+    def _epoch_batches(self) -> List[np.ndarray]:
+        """Record-index arrays, one per batch, orientation-bucketed."""
+        if not self.cfg.orientation_aware:
+            groups = [np.arange(len(self.dataset))]
+        else:
+            all_idx = np.arange(len(self.dataset))
+            groups = [all_idx[~self._portrait], all_idx[self._portrait]]
+            groups = [g for g in groups if len(g)]
+        batches: List[np.ndarray] = []
+        for idx in groups:
+            if self.shuffle:
+                self.rng.shuffle(idx)
+            if self.pad_final:
+                idx = _pad_wrap(idx, self.batch_size)
+            else:
+                n = (len(idx) // self.batch_size) * self.batch_size
+                if n == 0:
+                    # Tiny group: wrap around to fill one batch.
+                    reps = -(-self.batch_size // len(idx))
+                    idx = np.tile(idx, reps)[: self.batch_size]
+                else:
+                    idx = idx[:n]
+            batches.extend(
+                idx[i: i + self.batch_size]
+                for i in range(0, len(idx), self.batch_size)
+            )
+        if self.shuffle and len(batches) > 1:
+            order = self.rng.permutation(len(batches))
+            batches = [batches[i] for i in order]
+        return batches
 
     def _load(self, record) -> np.ndarray:
-        img = self._cache.get(record.image_path)
+        with self._cache_lock:
+            img = self._cache.get(record.image_path)
         if img is None:
-            img = load_image(record)
-            if len(self._cache) < self._cache_limit:
-                self._cache[record.image_path] = img
+            img = load_image_u8(record)
+            with self._cache_lock:
+                if (record.image_path not in self._cache
+                        and self._cache_bytes + img.nbytes
+                        <= self._cache_limit):
+                    self._cache[record.image_path] = img
+                    self._cache_bytes += img.nbytes
         return img
 
-    def _make_batch(self, indices: Sequence[int]) -> Batch:
+    def _make_batch(self, indices: Sequence[int],
+                    flips: Sequence[bool]) -> Batch:
         examples = []
-        for i in indices:
-            flip = self.augment_flip and bool(self.rng.randint(2))
+        for i, flip in zip(indices, flips):
             rec = self.dataset.records[i]
             examples.append(
-                make_example(rec, self.cfg, flip, img_bgr=self._load(rec))
+                make_example(rec, self.cfg, bool(flip),
+                             img_bgr=self._load(rec))
             )
-        return _collate(examples)
+        return _collate(examples, indices)
 
     def __iter__(self) -> Iterator[Batch]:
-        idx = self._epoch_indices()
-        batches = [
-            idx[i : i + self.batch_size]
-            for i in range(0, len(idx), self.batch_size)
+        batches = self._epoch_batches()
+        # Deterministic per-epoch flip stream, independent of workers.
+        flips = [
+            self.rng.randint(2, size=len(b)).astype(bool)
+            if self.augment_flip else np.zeros(len(b), bool)
+            for b in batches
         ]
-        if self.prefetch <= 0:
-            for b in batches:
-                yield self._make_batch(b)
+
+        if self.num_workers <= 0:
+            # Single background prefetch thread (or fully synchronous).
+            if self.prefetch <= 0:
+                for b, f in zip(batches, flips):
+                    yield self._make_batch(b, f)
+                return
+            q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+            sentinel = object()
+
+            def worker():
+                try:
+                    for b, f in zip(batches, flips):
+                        q.put(self._make_batch(b, f))
+                finally:
+                    q.put(sentinel)
+
+            t = threading.Thread(target=worker, daemon=True)
+            t.start()
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
             return
 
-        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
-        sentinel = object()
-
-        def worker():
-            try:
-                for b in batches:
-                    q.put(self._make_batch(b))
-            finally:
-                q.put(sentinel)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        # Thread-pool decode: PIL decompression and the native C++ prep
+        # kernel both release the GIL, so threads scale without the
+        # pickling cost of process workers.  A bounded in-flight window
+        # keeps memory flat while preserving batch order.
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            window = self.num_workers + self.prefetch
+            futures = []
+            nxt = 0
+            while nxt < len(batches) or futures:
+                while nxt < len(batches) and len(futures) < window:
+                    futures.append(
+                        pool.submit(self._make_batch, batches[nxt],
+                                    flips[nxt])
+                    )
+                    nxt += 1
+                yield futures.pop(0).result()
 
     def repeat(self) -> Iterator[Batch]:
         """Endless stream over reshuffled epochs (for step-based loops and

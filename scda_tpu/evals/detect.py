@@ -42,10 +42,12 @@ def run_inference(
         pad_final=True,  # never drop images from the eval set
     )
 
-    # Keep image order: DataLoader drops shuffle, but we also need ids.
+    # Batches are orientation-bucketed and wrap-padded, so record
+    # identity travels in Batch.indices; padded slots repeat earlier
+    # records and are skipped via ``seen``.
     ids = [r.image_id for r in dataset.records]
     all_dets = defaultdict(list)
-    n_done = 0
+    seen = set()
     t0 = time.perf_counter()
     compile_time = 0.0
     for bi, batch in enumerate(loader):
@@ -56,10 +58,11 @@ def run_inference(
         if bi == 0:
             compile_time = time.perf_counter() - tb
         for k in range(batch.image.shape[0]):
-            img_idx = bi * batch_size + k
-            if img_idx >= len(ids):
-                break
-            image_id = ids[img_idx]
+            rec_idx = int(batch.indices[k])
+            if rec_idx in seen:
+                continue
+            seen.add(rec_idx)
+            image_id = ids[rec_idx]
             valid = dets.valid[k]
             for j in np.nonzero(valid)[0]:
                 cls_name = dataset.classes[int(dets.classes[k, j]) - 1]
@@ -67,11 +70,10 @@ def run_inference(
                     (image_id, dets.boxes[k, j].astype(np.float64),
                      float(dets.scores[k, j]))
                 )
-            n_done += 1
         if progress and bi % 20 == 0:
-            print(f"  eval {n_done}/{len(ids)}", flush=True)
+            print(f"  eval {len(seen)}/{len(ids)}", flush=True)
     elapsed = time.perf_counter() - t0 - compile_time
-    ips = n_done / max(elapsed, 1e-9)
+    ips = len(seen) / max(elapsed, 1e-9)
     return dict(all_dets), ips
 
 

@@ -78,6 +78,7 @@ def _load() -> Optional[ctypes.CDLL]:
             return None
 
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         lib.prep_image.argtypes = [
             f32p, ctypes.c_int, ctypes.c_int,
             f32p, ctypes.c_int, ctypes.c_int,
@@ -85,6 +86,13 @@ def _load() -> Optional[ctypes.CDLL]:
             f32p, ctypes.c_int,
         ]
         lib.prep_image.restype = None
+        lib.prep_image_u8.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int,
+            f32p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            f32p, ctypes.c_int,
+        ]
+        lib.prep_image_u8.restype = None
         lib.bbox_overlaps.argtypes = [
             f32p, ctypes.c_int, f32p, ctypes.c_int, f32p,
         ]
@@ -98,7 +106,7 @@ def available() -> bool:
 
 
 def prep_image_native(
-    img: np.ndarray,            # (H, W, 3) float32 BGR
+    img: np.ndarray,            # (H, W, 3) uint8 or float32 BGR
     canvas_hw: Tuple[int, int],
     out_hw: Tuple[int, int],
     mean: np.ndarray,           # (3,) float32
@@ -113,10 +121,15 @@ def prep_image_native(
         raise ValueError(
             f"prep_image_native: out_hw {tuple(out_hw)} exceeds canvas "
             f"{tuple(canvas_hw)} (the C++ kernel does not bounds-check)")
-    img = np.ascontiguousarray(img, np.float32)
     mean = np.ascontiguousarray(mean, np.float32)
     canvas = np.empty((canvas_hw[0], canvas_hw[1], 3), np.float32)
-    lib.prep_image(
+    if img.dtype == np.uint8:
+        img = np.ascontiguousarray(img)
+        fn = lib.prep_image_u8
+    else:
+        img = np.ascontiguousarray(img, np.float32)
+        fn = lib.prep_image
+    fn(
         img, img.shape[0], img.shape[1],
         canvas, canvas_hw[0], canvas_hw[1],
         out_hw[0], out_hw[1], mean, int(flip),

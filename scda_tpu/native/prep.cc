@@ -21,15 +21,17 @@
 #include <cstdint>
 #include <cstring>
 
-extern "C" {
-
 // Resize (sh, sw, 3) -> (out_h, out_w, 3) into a zeroed
 // (canvas_h, canvas_w, 3) canvas, subtracting mean[3]; optional
-// horizontal flip of the SOURCE before resampling.
-void prep_image(const float* src, int sh, int sw,
-                float* canvas, int canvas_h, int canvas_w,
-                int out_h, int out_w,
-                const float* mean, int flip) {
+// horizontal flip of the SOURCE before resampling.  Templated on the
+// source element type so the decoded uint8 image feeds straight in
+// (fused convert+resample — the f32 staging copy costs ~10 ms/frame on
+// Cityscapes-size images).
+template <typename T>
+static void prep_image_impl(const T* src, int sh, int sw,
+                            float* canvas, int canvas_h, int canvas_w,
+                            int out_h, int out_w,
+                            const float* mean, int flip) {
   std::memset(canvas, 0, sizeof(float) * canvas_h * canvas_w * 3);
   const float sy = static_cast<float>(sh) / out_h;
   const float sx = static_cast<float>(sw) / out_w;
@@ -42,8 +44,8 @@ void prep_image(const float* src, int sh, int sw,
     const int y1 = std::min(y0 + 1, sh - 1);
     const float ly = fy - y0;
     float* dst_row = canvas + static_cast<long>(y) * canvas_w * 3;
-    const float* row0 = src + static_cast<long>(y0) * sw * 3;
-    const float* row1 = src + static_cast<long>(y1) * sw * 3;
+    const T* row0 = src + static_cast<long>(y0) * sw * 3;
+    const T* row1 = src + static_cast<long>(y1) * sw * 3;
     for (int x = 0; x < out_w; ++x) {
       float fx = (x + 0.5f) * sx - 0.5f;
       fx = std::max(0.0f, std::min(fx, static_cast<float>(sw - 1)));
@@ -57,12 +59,34 @@ void prep_image(const float* src, int sh, int sw,
       const float w00 = (1 - ly) * (1 - lx), w01 = (1 - ly) * lx;
       const float w10 = ly * (1 - lx), w11 = ly * lx;
       for (int c = 0; c < 3; ++c) {
-        const float v = w00 * row0[x0 * 3 + c] + w01 * row0[x1 * 3 + c] +
-                        w10 * row1[x0 * 3 + c] + w11 * row1[x1 * 3 + c];
+        const float v =
+            w00 * static_cast<float>(row0[x0 * 3 + c]) +
+            w01 * static_cast<float>(row0[x1 * 3 + c]) +
+            w10 * static_cast<float>(row1[x0 * 3 + c]) +
+            w11 * static_cast<float>(row1[x1 * 3 + c]);
         dst_row[x * 3 + c] = v - mean[c];
       }
     }
   }
+}
+
+extern "C" {
+
+void prep_image(const float* src, int sh, int sw,
+                float* canvas, int canvas_h, int canvas_w,
+                int out_h, int out_w,
+                const float* mean, int flip) {
+  prep_image_impl(src, sh, sw, canvas, canvas_h, canvas_w, out_h, out_w,
+                  mean, flip);
+}
+
+// uint8 source (straight from the PNG/JPEG decoder / the loader cache).
+void prep_image_u8(const uint8_t* src, int sh, int sw,
+                   float* canvas, int canvas_h, int canvas_w,
+                   int out_h, int out_w,
+                   const float* mean, int flip) {
+  prep_image_impl(src, sh, sw, canvas, canvas_h, canvas_w, out_h, out_w,
+                  mean, flip);
 }
 
 // Pairwise IoU matrix (legacy +1 convention) for host-side eval

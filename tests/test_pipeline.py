@@ -1,0 +1,170 @@
+"""Input-pipeline tests: orientation-aware canvas (the reference's
+shorter-side-600 scale rule must hold for portrait images too, r1
+VERDICT #7), per-dataset canvas inference, orientation-bucketed batches,
+byte-bounded cache, and multi-worker determinism."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from scda_tpu.config import DataConfig
+from scda_tpu.data.pipeline import (
+    DataLoader, compute_scale, infer_canvas, make_example,
+    oriented_canvas, prepare_image,
+)
+from scda_tpu.data.voc import Dataset, ImageRecord
+
+
+def _write_png(path, h, w, seed=0):
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(path)
+
+
+def _record(tmp_path, name, h, w, boxes=None, seed=0):
+    p = os.path.join(str(tmp_path), f"{name}.png")
+    _write_png(p, h, w, seed)
+    boxes = np.asarray(
+        boxes if boxes is not None else [[2.0, 2.0, w / 2, h / 2]],
+        np.float32)
+    return ImageRecord(
+        image_id=name, image_path=p, width=w, height=h, boxes=boxes,
+        labels=np.ones(len(boxes), np.int32),
+        difficult=np.zeros(len(boxes), bool),
+    )
+
+
+def _dataset(tmp_path, sizes):
+    recs = [
+        _record(tmp_path, f"im{i}", h, w, seed=i)
+        for i, (h, w) in enumerate(sizes)
+    ]
+    return Dataset(name="mix", classes=("thing",), records=recs)
+
+
+class TestOrientedCanvas:
+    def test_portrait_record_gets_reference_scale(self, tmp_path):
+        """A 500x375 portrait VOC image must reach the 600/375=1.6 ref
+        scale (a landscape canvas capped it to ~1.02 before)."""
+        cfg = DataConfig(image_size=(608, 1024), scale=600, max_size=1000)
+        rec = _record(tmp_path, "portrait", 500, 375)
+        from scda_tpu.data.pipeline import load_image
+
+        canvas, scale, (vh, vw) = prepare_image(load_image(rec), cfg)
+        assert canvas.shape == (1024, 608, 3)   # transposed canvas
+        assert scale == pytest.approx(1.6)
+        assert (vh, vw) == (800, 600)
+
+    def test_landscape_unchanged(self, tmp_path):
+        cfg = DataConfig(image_size=(608, 1024), scale=600, max_size=1000)
+        rec = _record(tmp_path, "land", 375, 500)
+        from scda_tpu.data.pipeline import load_image
+
+        canvas, scale, (vh, vw) = prepare_image(load_image(rec), cfg)
+        assert canvas.shape == (608, 1024, 3)
+        assert scale == pytest.approx(1.6)
+        assert (vh, vw) == (600, 800)
+
+    def test_opt_out(self):
+        cfg = DataConfig(image_size=(512, 1024), orientation_aware=False)
+        assert oriented_canvas(cfg, 500, 375) == (512, 1024)
+
+    def test_infer_canvas_voc_and_cityscapes(self):
+        cfg = DataConfig(scale=600, max_size=1000)
+        # VOC-ish records (mixed orientation).
+        voc = [
+            ImageRecord("a", "", 500, 375, np.zeros((0, 4), np.float32),
+                        np.zeros(0, np.int32), np.zeros(0, bool)),
+            ImageRecord("b", "", 375, 500, np.zeros((0, 4), np.float32),
+                        np.zeros(0, np.int32), np.zeros(0, bool)),
+        ]
+        assert infer_canvas(voc, cfg) == (608, 800)
+        # Cityscapes 1024x2048 -> max_size caps at (500, 1000).
+        city = [ImageRecord("c", "", 1024, 2048,
+                            np.zeros((0, 4), np.float32),
+                            np.zeros(0, np.int32), np.zeros(0, bool))]
+        assert infer_canvas(city, cfg) == (512, 1008)
+
+
+class TestOrientationBucketing:
+    def test_batches_are_shape_uniform_and_cover_all(self, tmp_path):
+        sizes = [(50, 80), (80, 50), (40, 64), (64, 40), (48, 72),
+                 (72, 48), (52, 76)]
+        ds = _dataset(tmp_path, sizes)
+        cfg = DataConfig(image_size=(64, 96), scale=48, max_size=96,
+                         max_gt_boxes=4)
+        loader = DataLoader(ds, cfg, 2, shuffle=False, augment_flip=False,
+                            pad_final=True, num_workers=0)
+        seen = set()
+        shapes = set()
+        for b in loader:
+            assert b.image.shape[0] == 2
+            shapes.add(b.image.shape[1:3])
+            seen.update(int(i) for i in b.indices)
+        assert seen == set(range(7))
+        assert shapes == {(64, 96), (96, 64)}
+
+    def test_train_mode_drops_ragged_per_group(self, tmp_path):
+        sizes = [(50, 80)] * 5 + [(80, 50)] * 3
+        ds = _dataset(tmp_path, sizes)
+        cfg = DataConfig(image_size=(64, 96), scale=48, max_size=96,
+                         max_gt_boxes=4)
+        loader = DataLoader(ds, cfg, 2, shuffle=True, augment_flip=False,
+                            num_workers=0)
+        assert len(loader) == 3  # 5//2 + 3//2
+        batches = list(loader)
+        assert len(batches) == 3
+
+
+class TestLoaderWorkers:
+    def test_multiworker_matches_single_thread(self, tmp_path):
+        sizes = [(48, 64)] * 6 + [(64, 48)] * 2
+        ds = _dataset(tmp_path, sizes)
+        cfg = DataConfig(image_size=(48, 64), scale=48, max_size=64,
+                         max_gt_boxes=4, use_flipped=True)
+        a = DataLoader(ds, cfg, 2, seed=5, num_workers=0)
+        b = DataLoader(ds, cfg, 2, seed=5, num_workers=4)
+        for ba, bb in zip(a, b):
+            np.testing.assert_array_equal(ba.indices, bb.indices)
+            np.testing.assert_array_equal(ba.image, bb.image)
+            np.testing.assert_array_equal(ba.gt_boxes, bb.gt_boxes)
+
+    def test_cache_is_byte_bounded(self, tmp_path):
+        sizes = [(40, 60)] * 4
+        ds = _dataset(tmp_path, sizes)
+        one_image = 40 * 60 * 3  # uint8 bytes
+        cfg = DataConfig(image_size=(48, 64), scale=40, max_size=64,
+                         max_gt_boxes=4,
+                         cache_mb=max(2 * one_image // (1 << 20), 0))
+        # cache_mb rounds to 0 MB for tiny images -> nothing cached.
+        loader = DataLoader(ds, cfg, 2, shuffle=False,
+                            augment_flip=False, num_workers=0)
+        list(loader)
+        assert loader._cache_bytes <= loader._cache_limit
+
+    def test_cache_speeds_reuse(self, tmp_path):
+        ds = _dataset(tmp_path, [(40, 60)] * 3)
+        cfg = DataConfig(image_size=(48, 64), scale=40, max_size=64,
+                         max_gt_boxes=4, cache_mb=64)
+        loader = DataLoader(ds, cfg, 3, shuffle=False,
+                            augment_flip=False, num_workers=0)
+        list(loader)
+        assert len(loader._cache) == 3
+        assert loader._cache_bytes == sum(
+            v.nbytes for v in loader._cache.values())
+
+
+class TestGtBoxScaling:
+    def test_boxes_scale_with_oriented_canvas(self, tmp_path):
+        cfg = DataConfig(image_size=(608, 1024), scale=600, max_size=1000,
+                         max_gt_boxes=4)
+        rec = _record(tmp_path, "p", 500, 375,
+                      boxes=[[10.0, 20.0, 110.0, 220.0]])
+        img, info, gt, n = make_example(rec, cfg)
+        assert img.shape == (1024, 608, 3)
+        assert n == 1
+        np.testing.assert_allclose(gt[0, :4], [16.0, 32.0, 176.0, 352.0],
+                                   rtol=1e-6)
