@@ -26,7 +26,9 @@ class TinyBackbone(nn.Module):
             x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"conv{i}")(x)
             x = nn.relu(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            from scda_tpu.models.backbones.vgg import max_pool_2x2
+
+            x = max_pool_2x2(x)  # reshape-max: cheap backward (see vgg.py)
             if i == 2:
                 f8 = x  # stride 8
         if return_pyramid:

@@ -35,6 +35,23 @@ VGG16_LAYOUT = (
 _FROZEN_TORCH_IDX = (0, 2, 5, 7)
 
 
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/stride-2 max pool as a reshape + reduce.
+
+    Equivalent to ``nn.max_pool(x, (2, 2), strides=(2, 2))`` for even
+    H/W (guaranteed: the canvas is /16), but XLA differentiates the
+    reshape-max with a cheap elementwise equality-select instead of the
+    full-resolution ``select-and-scatter`` that ``reduce_window``'s
+    backward lowers to (~1.8 ms/step on the 512x1024x64 conv1 activation
+    alone, r1 profile).  Ties route gradient to every maximal element
+    (vs first-match for select-and-scatter) — measure-zero for float
+    activations.
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.max(x, axis=(2, 4))
+
+
 class VGG16Backbone(nn.Module):
     """conv1_1..conv5_3, stride 16, 512-channel output.
 
@@ -54,7 +71,7 @@ class VGG16Backbone(nn.Module):
             if item == "M":
                 if pools == 3:
                     f8 = x  # conv4_3 output, stride 8
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = max_pool_2x2(x)
                 pools += 1
             else:
                 idx, ch = item

@@ -96,6 +96,14 @@ def make_optimizer(
     )
 
     chain = []
+    # Zero frozen-param gradients FIRST (not last): this is the exact
+    # analog of the reference's ``requires_grad=False`` — within the one
+    # jitted step XLA dead-code-eliminates the entire backward below the
+    # last trainable layer (conv1-2 wgrads/dgrads AND the full-res pool1
+    # select-and-scatter, ~several ms/img on VGG16), and the global-norm
+    # clip then measures trainable grads only, as torch's clip_gradient
+    # does (it iterates params with requires_grad).
+    chain.append(optax.masked(optax.set_to_zero(), frozen_mask))
     if tc.clip_gradients and tc.clip_gradients > 0:
         chain.append(optax.clip_by_global_norm(tc.clip_gradients))
     if tc.weight_decay:
@@ -105,8 +113,16 @@ def make_optimizer(
         )
     if tc.double_bias:
         chain.append(optax.masked(optax.scale(2.0), bias_mask))
-    chain.append(optax.sgd(learning_rate=lr_schedule, momentum=tc.momentum))
-    chain.append(optax.masked(optax.set_to_zero(), frozen_mask))
+    # Momentum only for trainable params (frozen ones carry no state and
+    # no update traffic; their updates are exactly zero from the head of
+    # the chain, and sgd-with-momentum maps zero grads to zero updates).
+    trainable_mask = jax.tree_util.tree_map(lambda m: not m, frozen_mask)
+    chain.append(
+        optax.masked(
+            optax.sgd(learning_rate=lr_schedule, momentum=tc.momentum),
+            trainable_mask,
+        )
+    )
     return optax.chain(*chain)
 
 
