@@ -72,11 +72,9 @@ def init_discriminator(cfg: Config, model: FasterRCNN, rng: jax.Array):
     return d_model, d_params
 
 
-def _domain_adv_loss(d_model, d_params, patches, weights, valid, domain,
-                     grl_scale):
-    """Weighted BCE on domain logits; patches flow through GRL."""
-    logits = d_model.apply({"params": d_params},
-                           grad_reverse(patches, grl_scale))
+def _weighted_bce(d_model, d_params, patches, weights, valid, domain):
+    """Count-weighted BCE on domain logits (no gradient tricks here)."""
+    logits = d_model.apply({"params": d_params}, patches)
     labels = jnp.full(logits.shape, float(domain), jnp.float32)
     per = optax.sigmoid_binary_cross_entropy(logits, labels)
     w = jnp.where(valid, weights, 0.0)
@@ -87,18 +85,26 @@ def _domain_adv_loss(d_model, d_params, patches, weights, valid, domain,
     return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-6), acc
 
 
-def scda_forward(
+def _domain_adv_loss(d_model, d_params, patches, weights, valid, domain,
+                     grl_scale):
+    """Weighted BCE on domain logits; patches flow through GRL."""
+    return _weighted_bce(
+        d_model, d_params, grad_reverse(patches, grl_scale),
+        weights, valid, domain,
+    )
+
+
+def _scda_parts(
     model: FasterRCNN,
-    d_model: PatchDiscriminator,
     params,
-    d_params,
     src_batch,
     tgt_image,
     tgt_im_info,
     cfg: Config,
     rng: jax.Array,
 ):
-    """Full SCDA loss = source detection + weighted region-adversarial."""
+    """Shared forward: source det losses + mined region patches for both
+    domains.  Returns (det_out, (patches, weights, valid) x {src, tgt})."""
     ac = cfg.adapt
     rng_det, rng_mine_s, rng_mine_t = jax.random.split(rng, 3)
 
@@ -136,6 +142,26 @@ def scda_forward(
 
     p_s, w_s, v_s = pooled_patches(det_out.base_feat, mined_s)
     p_t, w_t, v_t = pooled_patches(feat_t, mined_t)
+    return det_out, (p_s, w_s, v_s), (p_t, w_t, v_t)
+
+
+def scda_forward(
+    model: FasterRCNN,
+    d_model: PatchDiscriminator,
+    params,
+    d_params,
+    src_batch,
+    tgt_image,
+    tgt_im_info,
+    cfg: Config,
+    rng: jax.Array,
+):
+    """Full SCDA loss = source detection + weighted region-adversarial
+    (DANN single-loss form: one BCE, gradient reversed into the detector)."""
+    ac = cfg.adapt
+    det_out, (p_s, w_s, v_s), (p_t, w_t, v_t) = _scda_parts(
+        model, params, src_batch, tgt_image, tgt_im_info, cfg, rng
+    )
 
     loss_s, acc_s = _domain_adv_loss(
         d_model, d_params, p_s, w_s, v_s, 1, ac.grl_weight
@@ -154,6 +180,55 @@ def scda_forward(
     return total, metrics
 
 
+def scda_forward_alternating(
+    model: FasterRCNN,
+    d_model: PatchDiscriminator,
+    params,
+    d_params,
+    src_batch,
+    tgt_image,
+    tgt_im_info,
+    cfg: Config,
+    rng: jax.Array,
+):
+    """GAN-style two-loss SCDA objective (``adapt.d_update=alternating``).
+
+    De-risks the fork's alternating D/G trainer (SURVEY.md §3.2, verify):
+      * D loss  — BCE with TRUE domain labels on stop-gradient patches:
+        only ``d_params`` receive this gradient.
+      * G loss  — BCE with FLIPPED domain labels through a frozen D
+        (non-saturating adversarial loss): only the detector receives it.
+    One forward pass serves both; both optimizers step from gradients
+    taken at the pre-update D, the standard simultaneous-GAN schedule.
+    """
+    ac = cfg.adapt
+    det_out, (p_s, w_s, v_s), (p_t, w_t, v_t) = _scda_parts(
+        model, params, src_batch, tgt_image, tgt_im_info, cfg, rng
+    )
+    sg = jax.lax.stop_gradient
+
+    # Discriminator: learn the true domains on detached patches.
+    d_loss_s, acc_s = _weighted_bce(d_model, d_params, sg(p_s), w_s, v_s, 1)
+    d_loss_t, acc_t = _weighted_bce(d_model, d_params, sg(p_t), w_t, v_t, 0)
+    d_loss = 0.5 * (d_loss_s + d_loss_t)
+
+    # Detector: fool a frozen D — flipped labels (src->0, tgt->1).
+    frozen_d = sg(d_params)
+    g_loss_s, _ = _weighted_bce(d_model, frozen_d, p_s, w_s, v_s, 0)
+    g_loss_t, _ = _weighted_bce(d_model, frozen_d, p_t, w_t, v_t, 1)
+    adv = 0.5 * (g_loss_s + g_loss_t)
+
+    # d(total)/d(params)   = det grads + adv_weight * G grads
+    # d(total)/d(d_params) = D grads only
+    total = det_out.loss + ac.adv_weight * adv + d_loss
+    metrics = dict(det_out.metrics)
+    metrics.update(
+        adv=adv, adv_src=g_loss_s, adv_tgt=g_loss_t, d_loss=d_loss,
+        d_acc=0.5 * (acc_s + acc_t), loss=total,
+    )
+    return total, metrics
+
+
 def make_scda_train_step(
     model: FasterRCNN,
     d_model: PatchDiscriminator,
@@ -161,14 +236,24 @@ def make_scda_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
 ):
-    """Jitted adaptation step updating detector and discriminator."""
+    """Jitted adaptation step updating detector and discriminator.
+
+    ``cfg.adapt.d_update`` selects the objective: "joint" (DANN/GRL) or
+    "alternating" (GAN-style true/flipped-label two-loss) — the step
+    structure (one forward, two optimizers) is identical either way.
+    """
+    if cfg.adapt.d_update not in ("joint", "alternating"):
+        raise ValueError(f"adapt.d_update: {cfg.adapt.d_update!r} "
+                         "(want 'joint' or 'alternating')")
+    forward = (scda_forward if cfg.adapt.d_update == "joint"
+               else scda_forward_alternating)
 
     def step(state: ScdaTrainState, src_image, src_info, src_gt, src_num,
              tgt_image, tgt_info, base_rng):
         rng = jax.random.fold_in(base_rng, state.det.step)
 
         def loss_fn(params, d_params):
-            return scda_forward(
+            return forward(
                 model, d_model, params, d_params,
                 (src_image, src_info, src_gt, src_num),
                 tgt_image, tgt_info, cfg, rng,

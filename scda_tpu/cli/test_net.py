@@ -46,6 +46,9 @@ def parse_args(argv=None):
     p.add_argument("--synth_fog", type=float, default=0.0,
                    help="fog level of the synthetic val set (the SCDA "
                         "target-domain shift)")
+    p.add_argument("--synth_classes", default=None,
+                   help="comma-separated class list for the synthetic "
+                        "fixture (must match training)")
     return p.parse_args(argv)
 
 
@@ -87,11 +90,17 @@ def main(argv=None) -> int:
 
         from scda_tpu.data.synthetic import make_synthetic_dataset
 
+        synth_kw = {}
         suffix = f"_fog{args.synth_fog}" if args.synth_fog else ""
+        if args.synth_classes:
+            classes = tuple(c.strip() for c in args.synth_classes.split(",")
+                            if c.strip())
+            synth_kw = {"classes": classes}
+            suffix += f"_c{len(classes)}"
         dataset = make_synthetic_dataset(
             os.path.join(tempfile.gettempdir(), f"scda_synth_val{suffix}"),
             num_images=args.synth_images, image_size=cfg.data.image_size,
-            seed=100, split="val", fog=args.synth_fog,
+            seed=100, split="val", fog=args.synth_fog, **synth_kw,
         )
     else:
         from scda_tpu.data.voc import get_dataset

@@ -72,6 +72,10 @@ def parse_args(argv=None):
                    metavar=("H", "W"))
     p.add_argument("--synth_fog", type=float, default=0.5,
                    help="fog level of the synthetic_foggy fixture target")
+    p.add_argument("--synth_classes", default=None,
+                   help="comma-separated class list for the synthetic "
+                        "fixture (e.g. 'car' for the car-only SIM10k-style "
+                        "protocol, BASELINE config #4)")
     return p.parse_args(argv)
 
 
@@ -117,6 +121,12 @@ def build_config(args):
 def get_datasets(args, cfg):
     from scda_tpu.data.voc import get_dataset
 
+    synth_kw = {}
+    if getattr(args, "synth_classes", None):
+        classes = tuple(c.strip() for c in args.synth_classes.split(",")
+                        if c.strip())
+        synth_kw = {"classes": classes}
+
     def resolve(name):
         # "dir:<path>" = images-only folder (the unlabeled SCDA target
         # domain needs no annotations).
@@ -130,22 +140,26 @@ def get_datasets(args, cfg):
 
             from scda_tpu.data.synthetic import make_synthetic_dataset
 
+            suffix = f"_c{len(synth_kw['classes'])}" if synth_kw else ""
             return make_synthetic_dataset(
-                os.path.join(tempfile.gettempdir(), "scda_synth_train"),
+                os.path.join(tempfile.gettempdir(),
+                             f"scda_synth_train{suffix}"),
                 num_images=args.synth_images,
                 image_size=cfg.data.image_size, seed=0, split="train",
+                **synth_kw,
             )
         if name == "synthetic_foggy":
             import tempfile
 
             from scda_tpu.data.synthetic import make_synthetic_dataset
 
+            suffix = f"_c{len(synth_kw['classes'])}" if synth_kw else ""
             return make_synthetic_dataset(
                 os.path.join(tempfile.gettempdir(),
-                             f"scda_synth_tgt_fog{args.synth_fog}"),
+                             f"scda_synth_tgt_fog{args.synth_fog}{suffix}"),
                 num_images=args.synth_images,
                 image_size=cfg.data.image_size, seed=1, split="train",
-                fog=args.synth_fog, name="synthetic_foggy",
+                fog=args.synth_fog, name="synthetic_foggy", **synth_kw,
             )
         return get_dataset(name)
 

@@ -127,6 +127,15 @@ class AdaptConfig:
     grl_weight: float = 1.0         # gradient reversal scale
     d_lr: float = 1e-3              # discriminator optimizer lr
     d_channels: int = 256           # discriminator width
+    # Discriminator update schedule:
+    #   "joint"       — DANN single-loss: one BCE with true domain labels,
+    #                   detector receives the reversed gradient (GRL).
+    #   "alternating" — GAN-style two-loss: D descends BCE with true
+    #                   labels on detached patches; the detector descends
+    #                   BCE with FLIPPED labels through a frozen D
+    #                   (non-saturating adversarial loss).  De-risks the
+    #                   fork's D/G-step trainer (SURVEY.md §3.2, verify).
+    d_update: str = "joint"         # joint | alternating
 
 
 @dataclass(frozen=True)
