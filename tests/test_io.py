@@ -281,6 +281,95 @@ class TestCocoLoader:
         assert len(ds2) == 2
 
 
+class TestImagenetLoader:
+    def test_loads_ilsvrc_det_tree(self, tmp_path):
+        from PIL import Image
+
+        from scda_tpu.data.imagenet import load_imagenet_det_dataset
+
+        root = str(tmp_path)
+        os.makedirs(os.path.join(root, "ImageSets", "DET"))
+        os.makedirs(os.path.join(root, "Annotations", "DET", "train"))
+        os.makedirs(os.path.join(root, "Data", "DET", "train"))
+        with open(os.path.join(root, "meta_det.txt"), "w") as f:
+            f.write("n001 dog\nn002 siamese cat\n")
+        with open(os.path.join(root, "ImageSets", "DET", "train.txt"),
+                  "w") as f:
+            f.write("im0 1\nim1 2\n")  # ILSVRC lists carry an index column
+        for i in range(2):
+            Image.fromarray(np.zeros((40, 60, 3), np.uint8)).save(
+                os.path.join(root, "Data", "DET", "train", f"im{i}.JPEG"))
+        with open(os.path.join(root, "Annotations", "DET", "train",
+                               "im0.xml"), "w") as f:
+            f.write(
+                "<annotation><size><width>60</width><height>40</height>"
+                "</size><object><name>n002</name><bndbox><xmin>5</xmin>"
+                "<ymin>6</ymin><xmax>20</xmax><ymax>30</ymax></bndbox>"
+                "</object><object><name>n999</name><bndbox><xmin>1</xmin>"
+                "<ymin>1</ymin><xmax>9</xmax><ymax>9</ymax></bndbox>"
+                "</object></annotation>")
+
+        ds = load_imagenet_det_dataset(root, "train")
+        # wnid-sorted classes resolved through the synset map; unknown
+        # wnid n999 dropped; gt-less im1 filtered.
+        assert ds.classes == ("dog", "siamese cat")
+        assert len(ds) == 1
+        rec = ds.records[0]
+        assert rec.labels.tolist() == [2]
+        # ILSVRC boxes are 0-based: stored unshifted.
+        np.testing.assert_allclose(rec.boxes[0], [5, 6, 20, 30])
+
+        ds2 = load_imagenet_det_dataset(root, "train", keep_empty=True)
+        assert len(ds2) == 2
+
+
+class TestVgLoader:
+    def test_loads_vg_xml_tree_with_synonyms(self, tmp_path):
+        from PIL import Image
+
+        from scda_tpu.data.vg import load_vg_dataset, load_vg_vocab
+
+        root = str(tmp_path)
+        os.makedirs(os.path.join(root, "xml"))
+        os.makedirs(os.path.join(root, "images"))
+        with open(os.path.join(root, "objects_vocab.txt"), "w") as f:
+            f.write("man,person,guy\ncar\n")
+        with open(os.path.join(root, "train.txt"), "w") as f:
+            f.write("1\n2\n")
+        for i in (1, 2):
+            Image.fromarray(np.zeros((40, 60, 3), np.uint8)).save(
+                os.path.join(root, "images", f"{i}.jpg"))
+        with open(os.path.join(root, "xml", "1.xml"), "w") as f:
+            f.write(
+                "<annotation><size><width>60</width><height>40</height>"
+                "</size>"
+                # synonym + case resolution: GUY -> man (label 1)
+                "<object><name>GUY</name><bndbox><xmin>3</xmin>"
+                "<ymin>4</ymin><xmax>21</xmax><ymax>31</ymax></bndbox>"
+                "</object>"
+                # out-of-vocab name: dropped
+                "<object><name>tree</name><bndbox><xmin>1</xmin>"
+                "<ymin>1</ymin><xmax>9</xmax><ymax>9</ymax></bndbox>"
+                "</object>"
+                # degenerate after clipping: dropped
+                "<object><name>car</name><bndbox><xmin>70</xmin>"
+                "<ymin>1</ymin><xmax>80</xmax><ymax>9</ymax></bndbox>"
+                "</object></annotation>")
+
+        classes, aliases = load_vg_vocab(
+            os.path.join(root, "objects_vocab.txt"))
+        assert classes == ("man", "car")
+        assert aliases["person"] == 1 and aliases["car"] == 2
+
+        ds = load_vg_dataset(root, "train")
+        assert ds.classes == ("man", "car")
+        assert len(ds) == 1  # image 2 is gt-less
+        rec = ds.records[0]
+        assert rec.labels.tolist() == [1]
+        # VG XMLs are 1-based like VOC: shifted by -1.
+        np.testing.assert_allclose(rec.boxes[0], [2, 3, 20, 30])
+
+
 class TestEvalCoversAllImages:
     def test_ragged_batch_size_evaluates_every_image(self, tmp_path):
         """bs=3 over 8 images must evaluate all 8 (the drop-tail loader
