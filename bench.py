@@ -61,19 +61,24 @@ def main() -> None:
     out = fn(params, images[0], im_info)
     np.asarray(out.scores[0, 0:1])
 
-    iters = 100
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = fn(params, images[i % n_inputs], im_info)
-    np.asarray(out.scores[0, 0:1])  # host fetch = true completion
-    elapsed = time.perf_counter() - t0
-    ips = iters / elapsed
+    # Median of 5 repeats — single samples swing ±10% through the
+    # tunneled runtime (RESULTS.md), so one draw over-/under-reports.
+    iters, repeats = 100, 5
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = fn(params, images[i % n_inputs], im_info)
+        np.asarray(out.scores[0, 0:1])  # host fetch = true completion
+        samples.append(iters / (time.perf_counter() - t0))
+    ips = float(np.median(samples))
 
     print(json.dumps({
         "metric": "vgg16_fasterrcnn_inference_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 2),
+        "spread": [round(min(samples), 2), round(max(samples), 2)],
     }))
 
 

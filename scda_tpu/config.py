@@ -93,6 +93,11 @@ class ModelConfig:
     pooling_size: int = 7            # ref cfg.POOLING_SIZE
     sampling_ratio: int = 2          # RoIAlign samples per bin edge;
                                      # 0 = torchvision adaptive rule
+    # Fused Pallas RoI-Align contraction kernel (TPU only; measured
+    # 1.5-2x the XLA einsum path at R=300 — ops/pallas/roi_align_kernel).
+    # Applies to align/align_legacy grouped pooling; CPU tests keep the
+    # einsum path (Mosaic kernels need TPU or interpret mode).
+    roi_pallas: bool = False
     class_agnostic: bool = False
     truncated_init: bool = False     # ref TRAIN.TRUNCATED
     compute_dtype: str = "bfloat16"  # MXU-native matmul/conv dtype

@@ -133,6 +133,14 @@ class FasterRCNN(nn.Module):
         return feat, cls_logits, bbox, scores, deltas
 
 
+def _pallas_ok(feat: jnp.ndarray) -> bool:
+    """The fused Pallas RoI kernel needs lane-aligned channels (C % 128);
+    the 64-channel test backbone silently keeps the einsum path."""
+    from scda_tpu.ops.pallas.roi_align_kernel import supported
+
+    return supported(feat.shape[-1])
+
+
 def pool_rois(
     feat: jnp.ndarray,
     rois: jnp.ndarray,
@@ -155,10 +163,20 @@ def pool_rois(
         # Reference-lineage crop-and-resize semantics (use when running
         # converted reference checkpoints; see ops/roi_ops.py).
         if grouped:
-            out = roi_align_legacy_grouped(
-                feat, rois, output_size=p,
-                spatial_scale=1.0 / cfg.feat_stride,
-            )
+            if cfg.roi_pallas and _pallas_ok(feat):
+                from scda_tpu.ops.pallas.roi_align_kernel import (
+                    roi_align_grouped_pallas,
+                )
+
+                out = roi_align_grouped_pallas(
+                    feat, rois, output_size=p,
+                    spatial_scale=1.0 / cfg.feat_stride, legacy=True,
+                )
+            else:
+                out = roi_align_legacy_grouped(
+                    feat, rois, output_size=p,
+                    spatial_scale=1.0 / cfg.feat_stride,
+                )
             return out.reshape((-1,) + out.shape[2:])
         return roi_align_legacy(
             feat, rois, batch_indices, output_size=p,
@@ -166,12 +184,23 @@ def pool_rois(
         )
     if cfg.pooling_mode == "align":
         if grouped:
-            out = roi_align_grouped(
-                feat, rois,
-                output_size=p,
-                spatial_scale=1.0 / cfg.feat_stride,
-                sampling_ratio=cfg.sampling_ratio,
-            )
+            if cfg.roi_pallas and _pallas_ok(feat):
+                from scda_tpu.ops.pallas.roi_align_kernel import (
+                    roi_align_grouped_pallas,
+                )
+
+                out = roi_align_grouped_pallas(
+                    feat, rois, output_size=p,
+                    spatial_scale=1.0 / cfg.feat_stride,
+                    sampling_ratio=cfg.sampling_ratio,
+                )
+            else:
+                out = roi_align_grouped(
+                    feat, rois,
+                    output_size=p,
+                    spatial_scale=1.0 / cfg.feat_stride,
+                    sampling_ratio=cfg.sampling_ratio,
+                )
             return out.reshape((-1,) + out.shape[2:])
         return roi_align(
             feat, rois, batch_indices,

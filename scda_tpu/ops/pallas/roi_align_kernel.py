@@ -1,0 +1,246 @@
+"""Pallas TPU kernel for the fused RoI-Align double contraction.
+
+TPU-native rethink of the reference RoI Align CUDA kernel
+(ref lib/model/roi_align/src/roi_align_kernel.cu:~20-270).  The XLA fast
+path (`roi_ops.roi_align_grouped`) expresses RoI Align as two MXU
+einsums:
+
+    tmp[b,r,p,w,c] = sum_h wy[b,r,p,h] * feat[b,h,w,c]
+    out[b,r,p,q,c] = sum_w wx[b,r,q,w] * tmp[b,r,p,w,c]
+
+XLA materialises ``tmp`` — (B, R, P, W, C) — in HBM between the two
+matmuls (matmul outputs do not fuse into matmul inputs).  At inference
+shapes (R=300, W=64, C=512, f32) that is ~275 MB written + read back
+per image, pure HBM-bandwidth waste.  This kernel runs both
+contractions per roi-tile with ``tmp`` living in VMEM registers, so HBM
+traffic is just feat once (+ the small weights and output).
+
+Semantics live entirely in the precomputed axis-weight matrices
+``wy``/``wx`` (built by `roi_ops._axis_weights` for the torchvision and
+adaptive modes, `roi_ops._legacy_axis_weights` for the reference-lineage
+mode), so ONE kernel serves all pooling semantics and stays trivially
+oracle-testable against the einsum form.
+
+Grid is (B, roi_tiles); the feature block's index map is constant in the
+roi-tile coordinate, so Mosaic keeps it resident in VMEM across tiles of
+the same image instead of re-fetching.
+
+Backward: RoI Align is linear in ``features``, and the wrapper exposes
+the op through a custom_vjp whose backward reuses the same kernel with
+transposed weights is unnecessary — boxes are stop-gradient everywhere
+in the model, and XLA differentiates the einsum fallback; the Pallas
+path is wired for the inference/forward hot loop (`model.roi_pallas`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _contract_kernel(wy_ref, wx_ref, feat_ref, out_ref, *, r_tile, p, c):
+    """One (image, roi-tile) step: both contractions, tmp in VMEM.
+
+    wy_ref:  (1, RT, P, H)   per-roi y-axis weights
+    wx_ref:  (1, RT, P, W)   per-roi x-axis weights
+    feat_ref:(1, H, W*C)     the image's feature map, lanes = W*C
+    out_ref: (1, RT, P, P, C)
+
+    Contraction 1 batches ALL the tile's rois into one MXU dot — the
+    feature map streams through the MXU once per tile (M = RT*P rows)
+    instead of once per roi (M = P), an RT-fold cut in MXU passes.
+    """
+    feat2d = feat_ref[0]                                  # (H, W*C)
+    h = feat2d.shape[0]
+    w = feat2d.shape[1] // c
+    # (RT, P, H) -> (RT*P, H): leading-dim merge, layout-free.
+    wy_all = wy_ref[0].reshape(r_tile * p, h)
+    # Contraction 1: (RT*P, H) x (H, W*C) -> (RT*P, W*C), lives in VMEM.
+    tmp = jnp.dot(wy_all, feat2d, preferred_element_type=jnp.float32)
+    tmp = tmp.reshape(r_tile * p, w, c)                   # lane split W*C
+    for r in range(r_tile):                               # static unroll
+        wx = wx_ref[0, r]                                 # (Q, W)
+        for pp in range(p):                               # P is tiny (7)
+            # Contraction 2: (Q, W) x (W, C) -> (Q, C).
+            out_ref[0, r, pp] = jnp.dot(
+                wx, tmp[r * p + pp], preferred_element_type=jnp.float32
+            )
+
+
+def roi_align_contract(
+    wy: jnp.ndarray,        # (B, R, P, H) float32
+    wx: jnp.ndarray,        # (B, R, P, W) float32
+    features: jnp.ndarray,  # (B, H, W, C)
+    *,
+    r_tile: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused double contraction: returns (B, R, P, P, C) float32.
+
+    Pads R up to a multiple of ``r_tile``; numerically identical to
+    ``einsum('brph,bhwc->brpwc') -> einsum('brqw,brpwc->brpqc')``.
+
+    Differentiable in ``features`` (custom_vjp: the op is linear, so the
+    backward is the transposed pair of einsums — XLA handles the
+    scatter-free accumulation).  ``wy``/``wx`` derive from stop-gradient
+    boxes everywhere in the model and get zero cotangents.
+    """
+    return _contract_vjp(r_tile, interpret, wy, wx, features)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _contract_vjp(r_tile, interpret, wy, wx, features):
+    return _contract_impl(r_tile, interpret, wy, wx, features)
+
+
+def _contract_fwd(r_tile, interpret, wy, wx, features):
+    return (_contract_impl(r_tile, interpret, wy, wx, features),
+            (wy, wx, jnp.zeros((), features.dtype)))
+
+
+def _contract_bwd(r_tile, interpret, res, g):
+    wy, wx, feat_proto = res
+    # dfeat[b,h,w,c] = sum_{r,p,q} wy[b,r,p,h] wx[b,r,q,w] g[b,r,p,q,c]
+    tmp = jnp.einsum("brqw,brpqc->brpwc", wx, g,
+                     preferred_element_type=jnp.float32)
+    dfeat = jnp.einsum("brph,brpwc->bhwc", wy, tmp,
+                       preferred_element_type=jnp.float32)
+    return (jnp.zeros_like(wy), jnp.zeros_like(wx),
+            dfeat.astype(feat_proto.dtype))
+
+
+_contract_vjp.defvjp(_contract_fwd, _contract_bwd)
+
+
+def supported(c: int) -> bool:
+    """Mosaic can lane-split the (RT*P, W*C) -> (RT*P, W, C) reshape only
+    when C is a multiple of the 128-lane tile (vgg/resnet heads: 512/1024
+    — fine; the 64-channel test backbone falls back to the einsum path)."""
+    return c % 128 == 0
+
+
+def _contract_impl(r_tile, interpret, wy, wx, features):
+    b, r, p, h = wy.shape
+    _, height, width, c = features.shape
+    assert wx.shape == (b, r, p, width), (wx.shape, (b, r, p, width))
+    assert h == height
+    if not (interpret or supported(c)):
+        raise ValueError(
+            f"roi_align_contract needs C % 128 == 0 on TPU (got C={c}); "
+            "gate the call on roi_align_kernel.supported(C)")
+
+    pad = (-r) % r_tile
+    if pad:
+        wy = jnp.pad(wy, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    rp = r + pad
+
+    feat2d = features.astype(jnp.float32).reshape(b, height, width * c)
+    wy = wy.astype(jnp.float32)
+    wx = wx.astype(jnp.float32)
+
+    grid = (b, rp // r_tile)
+    out = pl.pallas_call(
+        functools.partial(_contract_kernel, r_tile=r_tile, p=p, c=c),
+        out_shape=jax.ShapeDtypeStruct((b, rp, p, p, c), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, r_tile, p, height),
+                         lambda bi, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_tile, p, width),
+                         lambda bi, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # Constant in ri: stays resident across roi tiles of image bi.
+            pl.BlockSpec((1, height, width * c),
+                         lambda bi, ri: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r_tile, p, p, c),
+                               lambda bi, ri: (bi, ri, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * rp * p * height * width * c   # contraction 1
+            + 2 * b * rp * p * p * width * c,           # contraction 2
+            bytes_accessed=b * height * width * c * 4
+            + b * rp * p * (height + width) * 4
+            + b * rp * p * p * c * 4,
+            transcendentals=0,
+        ),
+    )(wy, wx, feat2d)
+    return out[:, :r]
+
+
+def roi_align_grouped_pallas(
+    features: jnp.ndarray,   # (B, H, W, C)
+    rois: jnp.ndarray,       # (B, R, 4) per-image boxes, image coords
+    *,
+    output_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+    sampling_ratio: int = 2,
+    aligned: bool = False,
+    legacy: bool = False,
+    r_tile: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for `roi_ops.roi_align_grouped` / `_legacy_grouped` with the
+    fused Pallas contraction.  Returns (B, R, P, P, C) in features.dtype."""
+    from scda_tpu.ops.roi_ops import (
+        _axis_weights, _legacy_axis_weights, _legacy_sample_coords,
+    )
+
+    b, height, width, c = features.shape
+    p = output_size
+    orig_dtype = features.dtype
+    boxes = jax.lax.stop_gradient(rois.astype(jnp.float32))
+
+    if legacy:
+        ys, xs = _legacy_sample_coords(boxes, spatial_scale, p)  # (B,R,P)
+        wy = _legacy_axis_weights(ys, height)
+        wx = _legacy_axis_weights(xs, width)
+    else:
+        adaptive = int(sampling_ratio) <= 0
+        s = (max(-(-max(height, width) // p), 1) if adaptive
+             else max(int(sampling_ratio), 1))
+        offset = 0.5 if aligned else 0.0
+        x1 = boxes[..., 0] * spatial_scale - offset
+        y1 = boxes[..., 1] * spatial_scale - offset
+        x2 = boxes[..., 2] * spatial_scale - offset
+        y2 = boxes[..., 3] * spatial_scale - offset
+        roi_w, roi_h = x2 - x1, y2 - y1
+        if not aligned:
+            roi_w = jnp.maximum(roi_w, 1.0)
+            roi_h = jnp.maximum(roi_h, 1.0)
+        bin_w, bin_h = roi_w / p, roi_h / p
+        ph = jnp.arange(p, dtype=jnp.float32)
+        k = jnp.arange(s, dtype=jnp.float32)
+        if adaptive:
+            sy = jnp.clip(jnp.ceil(roi_h / p), 1, s)
+            sx = jnp.clip(jnp.ceil(roi_w / p), 1, s)
+            fy = (k + 0.5) / sy[..., None]
+            fx = (k + 0.5) / sx[..., None]
+            my = (k < sy[..., None]).astype(jnp.float32)
+            mx = (k < sx[..., None]).astype(jnp.float32)
+            my = jnp.broadcast_to(my[..., None, :], (b, rois.shape[1], p, s))
+            mx = jnp.broadcast_to(mx[..., None, :], (b, rois.shape[1], p, s))
+            dy, dx = sy[..., None, None], sx[..., None, None]
+        else:
+            fy = fx = jnp.broadcast_to((k + 0.5) / s, boxes.shape[:2] + (s,))
+            my = mx = dy = dx = None
+        ys = (y1[..., None, None]
+              + (ph[None, None, :, None] + fy[..., None, :])
+              * bin_h[..., None, None])
+        xs = (x1[..., None, None]
+              + (ph[None, None, :, None] + fx[..., None, :])
+              * bin_w[..., None, None])
+        wy = _axis_weights(ys, height, my, dy)
+        wx = _axis_weights(xs, width, mx, dx)
+
+    out = roi_align_contract(wy, wx, features, r_tile=r_tile,
+                             interpret=interpret)
+    return out.astype(orig_dtype)

@@ -11,6 +11,10 @@ Design notes (not a port):
     free (gather -> scatter-add), so no custom backward is required for
     correctness.  The hot path is the MXU matmul formulation
     (:func:`roi_align_grouped`), measured faster than the gather form.
+    A fused Pallas kernel of the same contraction pair
+    (scda_tpu/ops/pallas/roi_align_kernel.py, opt-in via
+    ``model.roi_pallas``) keeps the intermediate in VMEM — another
+    1.55-1.97x on-chip (RESULTS.md).
   * RoI Align comes in TWO semantics, config-switchable:
       - :func:`roi_align` — torchvision/Detectron spec (``sampling_ratio``
         bilinear samples per bin edge, averaged; ``sampling_ratio=0`` =

@@ -405,6 +405,84 @@ class TestRoiAlignLegacy:
         assert np.abs(np.asarray(g)).max() > 0
 
 
+class TestPallasRoiAlign:
+    """The fused Pallas contraction kernel (interpret mode on CPU; the
+    compiled kernel is A/B'd on real TPU — RESULTS.md)."""
+
+    def test_matches_einsum_all_semantics(self, rng):
+        from scda_tpu.ops.pallas.roi_align_kernel import (
+            roi_align_grouped_pallas,
+        )
+        from scda_tpu.ops.roi_ops import (
+            roi_align_grouped, roi_align_legacy_grouped,
+        )
+
+        b, h, w, c, r, p = 2, 12, 16, 8, 13, 7
+        feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        rois = jnp.asarray(np.stack(
+            [random_rois(rng, r, h * 16, w * 16) for _ in range(b)]
+        ))
+        cases = [
+            (dict(sampling_ratio=2), roi_align_grouped, {}),
+            (dict(sampling_ratio=0), roi_align_grouped, {}),
+            (dict(sampling_ratio=2, aligned=True), roi_align_grouped, {}),
+            (dict(legacy=True), roi_align_legacy_grouped,
+             {"drop": ("legacy",)}),
+        ]
+        for kw, ref_fn, extra in cases:
+            ref_kw = {k: v for k, v in kw.items()
+                      if k not in extra.get("drop", ())}
+            a = np.asarray(ref_fn(feat, rois, output_size=p, **ref_kw))
+            # r_tile=4 does not divide R=13: exercises padding too.
+            out = roi_align_grouped_pallas(
+                feat, rois, output_size=p, r_tile=4, interpret=True, **kw)
+            np.testing.assert_allclose(np.asarray(out), a,
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_gradient_matches_einsum(self, rng):
+        from scda_tpu.ops.pallas.roi_align_kernel import (
+            roi_align_grouped_pallas,
+        )
+        from scda_tpu.ops.roi_ops import roi_align_grouped
+
+        b, h, w, c, r = 1, 8, 10, 4, 5
+        feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        rois = jnp.asarray(
+            np.stack([random_rois(rng, r, h * 16, w * 16)]))
+
+        def loss_pallas(f):
+            out = roi_align_grouped_pallas(f, rois, output_size=5,
+                                           interpret=True)
+            return jnp.sum(out ** 2)
+
+        def loss_einsum(f):
+            return jnp.sum(
+                roi_align_grouped(f, rois, output_size=5) ** 2)
+
+        g_p = np.asarray(jax.grad(loss_pallas)(feat))
+        g_e = np.asarray(jax.grad(loss_einsum)(feat))
+        assert np.abs(g_p).max() > 0
+        np.testing.assert_allclose(g_p, g_e, rtol=1e-4, atol=1e-5)
+
+    def test_pool_rois_pallas_dispatch(self, rng):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from scda_tpu.config import ModelConfig
+        from scda_tpu.models.faster_rcnn import pool_rois
+
+        feat = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+        rois = jnp.asarray(rng.rand(2, 3, 4).astype(np.float32) * 60)
+        rois = rois.at[..., 2:].add(rois[..., :2] + 16)
+        for mode in ("align", "align_legacy"):
+            cfg = ModelConfig(pooling_mode=mode, pooling_size=5)
+            want = np.asarray(pool_rois(feat, rois, None, cfg))
+            cfg_p = ModelConfig(pooling_mode=mode, pooling_size=5,
+                                roi_pallas=True)
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(pool_rois(feat, rois, None, cfg_p))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def np_roi_crop(feat, box, P, scale):
     """Oracle for roi_crop: corner-inclusive (2P x 2P) bilinear grid over
     the roi, zero-padded OOB, then 2x2 max-pool."""
