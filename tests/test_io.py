@@ -233,6 +233,29 @@ class TestCliSmoke:
         assert r2.returncode == 0, r2.stderr[-2000:]
         assert "mAP@0.5" in r2.stdout
 
+        # Sharded eval: same checkpoint over an 8-virtual-device mesh,
+        # batch split across devices (VERDICT r1 #5 CI criterion).
+        env8 = dict(env,
+                    XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        sharded = [a for a in common if a not in ("--num_devices", "1")]
+        r3 = subprocess.run(
+            [sys.executable, "-m", "scda_tpu.cli.test_net", *sharded,
+             "--num_devices", "8", "--bs", "8",
+             "--load_dir", str(tmp_path), *overrides],
+            capture_output=True, text=True, env=env8, cwd=REPO, timeout=420,
+        )
+        assert r3.returncode == 0, r3.stderr[-2000:]
+        assert "eval mesh: 8 device(s)" in r3.stdout, r3.stdout[-2000:]
+        assert "mAP@0.5" in r3.stdout
+        # Same detections regardless of mesh: mAP must match the
+        # unsharded run exactly.
+        import re
+
+        def map_of(s):
+            return re.search(r"mAP@0\.5 = ([0-9.]+)", s).group(1)
+
+        assert map_of(r3.stdout) == map_of(r2.stdout)
+
 
 class TestCocoLoader:
     def test_loads_coco_json(self, tmp_path, rng):
