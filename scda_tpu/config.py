@@ -150,6 +150,10 @@ class TrainConfig:
 
     learning_rate: float = 1e-3      # ref TRAIN.LEARNING_RATE
     momentum: float = 0.9            # ref TRAIN.MOMENTUM
+    # Momentum-buffer dtype: "bfloat16" halves the optimizer-state HBM
+    # traffic of the 411 MB fc6 kernel (the profiled ~2.9 ms/step lever,
+    # RESULTS.md); "float32" is the reference-exact default.
+    momentum_dtype: str = "float32"  # float32 | bfloat16
     weight_decay: float = 5e-4       # ref TRAIN.WEIGHT_DECAY
     double_bias: bool = True         # ref TRAIN.DOUBLE_BIAS (2x lr, no decay)
     bias_decay: bool = False         # ref TRAIN.BIAS_DECAY

@@ -117,9 +117,11 @@ def make_optimizer(
     # no update traffic; their updates are exactly zero from the head of
     # the chain, and sgd-with-momentum maps zero grads to zero updates).
     trainable_mask = jax.tree_util.tree_map(lambda m: not m, frozen_mask)
+    acc_dtype = (jnp.bfloat16 if tc.momentum_dtype == "bfloat16" else None)
     chain.append(
         optax.masked(
-            optax.sgd(learning_rate=lr_schedule, momentum=tc.momentum),
+            optax.sgd(learning_rate=lr_schedule, momentum=tc.momentum,
+                      accumulator_dtype=acc_dtype),
             trainable_mask,
         )
     )

@@ -45,6 +45,27 @@ class TestTrainStep:
         # Overfitting a single batch must reduce the loss.
         assert losses[-1] < losses[0], losses
 
+    def test_bf16_momentum_buffers(self, setup, rng):
+        """train.momentum_dtype=bfloat16 stores the sgd trace in bf16
+        (halves optimizer-state HBM traffic) and still learns."""
+        import dataclasses
+
+        cfg0, model, params = setup
+        cfg = dataclasses.replace(cfg0, train=dataclasses.replace(
+            cfg0.train, momentum_dtype="bfloat16"))
+        state = create_train_state(cfg, params)
+        dts = {l.dtype for l in jax.tree_util.tree_leaves(state.opt_state)
+               if hasattr(l, "dtype") and getattr(l, "ndim", 0) > 0}
+        assert dts == {jnp.dtype(jnp.bfloat16)}, dts
+        step_fn = make_train_step(model, cfg, donate=False)
+        batch = [jnp.array(x) for x in synthetic_batch(rng, cfg)]
+        losses = []
+        for _ in range(3):
+            state, m = step_fn(state, *batch, jax.random.key(0))
+            losses.append(float(m["loss"]))
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0], losses
+
     def test_metrics_keys(self, setup, rng):
         cfg, model, params = setup
         state = create_train_state(cfg, params)
