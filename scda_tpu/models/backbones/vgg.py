@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -35,21 +36,45 @@ VGG16_LAYOUT = (
 _FROZEN_TORCH_IDX = (0, 2, 5, 7)
 
 
+@jax.custom_vjp
 def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """2x2/stride-2 max pool as a reshape + reduce.
+    """2x2/stride-2 max pool: reduce_window forward, equality backward.
 
-    Equivalent to ``nn.max_pool(x, (2, 2), strides=(2, 2))`` for even
-    H/W (guaranteed: the canvas is /16), but XLA differentiates the
-    reshape-max with a cheap elementwise equality-select instead of the
-    full-resolution ``select-and-scatter`` that ``reduce_window``'s
-    backward lowers to (~1.8 ms/step on the 512x1024x64 conv1 activation
-    alone, r1 profile).  Ties route gradient to every maximal element
-    (vs first-match for select-and-scatter) — measure-zero for float
-    activations.
+    Hybrid of the two formulations, taking each one's fast direction
+    (both measured on-chip, RESULTS.md):
+      * FORWARD uses ``nn.max_pool`` (``lax.reduce_window``) — the fused
+        window op.  Expressing the forward as reshape+max instead costs
+        inference 152 vs 173 img/s: the 6-D reshape is a relayout of the
+        full-res activation.
+      * BACKWARD is a custom vjp doing the reshape-max gradient — an
+        elementwise equality-select at full res — instead of the
+        ``select_and_scatter`` that reduce_window's autodiff lowers to
+        (~1.8 ms/step on the 512x1024x64 conv1 activation alone, r1
+        profile).  Ties split the cotangent evenly among maximal
+        elements (vs first-match for select_and_scatter) — measure-zero
+        for float activations.
+
+    Requires even H/W (guaranteed: the canvas is /16).
     """
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def _max_pool_2x2_fwd(x):
+    y = nn.max_pool(x, (2, 2), strides=(2, 2))
+    return y, (x, y)
+
+
+def _max_pool_2x2_bwd(res, g):
+    x, y = res
     b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    return jnp.max(x, axis=(2, 4))
+    xw = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    is_max = (xw == y[:, :, None, :, None, :]).astype(g.dtype)
+    ties = jnp.sum(is_max, axis=(2, 4), keepdims=True)
+    dx = is_max * (g[:, :, None, :, None, :] / ties)
+    return (dx.reshape(b, h, w, c),)
+
+
+max_pool_2x2.defvjp(_max_pool_2x2_fwd, _max_pool_2x2_bwd)
 
 
 class VGG16Backbone(nn.Module):
