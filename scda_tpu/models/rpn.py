@@ -79,6 +79,15 @@ def propose(
     b = rpn_cls_logits.shape[0]
     k = anchors.shape[0]
 
+    # The proposal layer is a CONSTANT w.r.t. the loss, exactly as in
+    # the reference (proposal_layer runs under no-grad; RPN trains only
+    # through its own cls/bbox losses).  Without this, gradients leak
+    # from the RCNN targets back through box decode/top-k/NMS gathers —
+    # semantically wrong AND each gather transposes to a serial
+    # scatter-add while-loop (measured in the r2 HLO dump).
+    rpn_cls_logits = jax.lax.stop_gradient(rpn_cls_logits)
+    rpn_bbox_pred = jax.lax.stop_gradient(rpn_bbox_pred)
+
     scores = jax.nn.softmax(rpn_cls_logits, axis=-1)[..., 1].reshape(b, k)
     deltas = rpn_bbox_pred.reshape(b, k, 4)
 
