@@ -190,6 +190,10 @@ class TestConfig:
     max_per_image: int = 100         # test_net.py max_per_image
     max_dets_per_class: int = 100    # static per-class NMS output size
     bbox_reg: bool = True            # ref TEST.BBOX_REG
+    # Serve with bfloat16 kernels: halves weight HBM traffic (inference
+    # is weight-bound — 176->185 img/s measured; drift ~2e-4 score /
+    # 2e-3 px box).  Off by default for bit-parity with training evals.
+    bf16_weights: bool = False
 
 
 @dataclass(frozen=True)

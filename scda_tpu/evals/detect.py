@@ -26,6 +26,23 @@ from scda_tpu.models.faster_rcnn import FasterRCNN
 from scda_tpu.train.steps import make_eval_step
 
 
+def bf16_inference_params(params):
+    """Cast >=2-D float32 params (kernels) to bfloat16 for serving.
+
+    Halves the per-step weight HBM traffic — inference is weight-bound
+    (measured 176.3 -> 185.4 img/s on the flagship config; score drift
+    2e-4, box drift 2e-3 px — RESULTS.md).  Biases and scalars stay
+    f32; the compute dtype is bf16 either way, so this only removes the
+    per-use f32->bf16 cast and the double-width weight reads.
+    """
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if getattr(x, "dtype", None) == jnp.dtype(jnp.float32)
+        and getattr(x, "ndim", 0) >= 2 else x,
+        params,
+    )
+
+
 def run_inference(
     model: FasterRCNN,
     params,
@@ -36,6 +53,8 @@ def run_inference(
     progress: bool = False,
 ):
     """Returns (all_dets for evaluate_detections, images/sec)."""
+    if cfg.test.bf16_weights:
+        params = bf16_inference_params(params)
     eval_fn = make_eval_step(model, cfg, mesh=mesh)
     loader = DataLoader(
         dataset, cfg.data, batch_size, shuffle=False, augment_flip=False,

@@ -120,6 +120,33 @@ class TestInference:
         if len(bx):
             assert (bx[:, 2] >= bx[:, 0] - 1e-3).all()
 
+    def test_bf16_serving_weights_near_identical(self, setup, rng):
+        """test.bf16_weights: kernels cast to bf16 (weight-HBM-bound
+        serving path); detections must match the f32 run closely."""
+        from scda_tpu.evals.detect import bf16_inference_params
+
+        cfg, model, params = setup
+        p16 = bf16_inference_params(params)
+        flat = jax.tree_util.tree_leaves_with_path(p16)
+        for path, leaf in flat:
+            if leaf.ndim >= 2:
+                assert leaf.dtype == jnp.bfloat16, path
+            else:
+                assert leaf.dtype != jnp.bfloat16, path
+        # The eval path must accept the mixed tree and produce sane
+        # detections.  Numerical closeness to the f32 run is NOT
+        # assertable on random-init weights (the untrained regression
+        # head chaotically amplifies the cast); the trained-weight
+        # drift is measured on-chip instead (~2e-4 score / 2e-3 px,
+        # RESULTS.md).
+        eval_fn = make_eval_step(model, cfg)
+        image, im_info, _, _ = synthetic_batch(rng, cfg)
+        d16 = eval_fn(p16, jnp.array(image), jnp.array(im_info))
+        v = np.asarray(d16.valid)
+        assert v.any()
+        assert np.isfinite(np.asarray(d16.scores)[v]).all()
+        assert np.isfinite(np.asarray(d16.boxes)[v]).all()
+
 
 class TestScdaStep:
     def test_adaptation_step_runs_and_updates_both(self, setup, rng):
