@@ -120,8 +120,20 @@ def _scda_parts(
         {"params": params}, feat_t, method=FasterRCNN.rpn_out
     )
     anchors = make_anchors(cfg, (feat_t.shape[1], feat_t.shape[2]))
+    # The target tower exists only to feed region mining, which consumes
+    # the top ``mining_top_n`` proposals.  Greedy NMS output is
+    # prefix-stable (the first K kept boxes don't depend on the output
+    # budget), so capping post_nms_top_n at mining_top_n is EXACT while
+    # shrinking the NMS loop and every downstream gather.
+    import dataclasses as _dc
+
+    tgt_pcfg = _dc.replace(
+        cfg.train.proposal,
+        post_nms_top_n=min(cfg.train.proposal.post_nms_top_n,
+                           max(int(ac.mining_top_n), 1)),
+    )
     props_t = propose(rpn_cls_t, rpn_bbox_t, anchors, tgt_im_info,
-                      cfg.train.proposal)
+                      tgt_pcfg)
 
     # Region mining on both domains.
     mined_s = mine_regions(det_out.proposals.boxes, det_out.proposals.valid,
