@@ -136,12 +136,45 @@ def main(argv=None) -> int:
         if state_kind is None:
             # Checkpoints from before the config.json marker: probe the
             # saved tree layout (metadata only, no array reads).  An
-            # SCDA state nests the detector under 'det'.
+            # SCDA state nests the detector under 'det'.  An EMPTY probe
+            # means the metadata was unreadable — stay undecided rather
+            # than guessing 'det' (a pre-marker SCDA checkpoint would
+            # then crash instead of restoring).
             keys = ckpt.checkpoint_top_level_keys(save_dir,
                                                   args.checkpoint_step)
-            state_kind = "scda" if "det" in keys else "det"
+            if keys:
+                state_kind = "scda" if "det" in keys else "det"
         template = create_train_state(cfg, params)
-        if state_kind == "scda":
+        if state_kind is None:
+            # Metadata unreadable: try the detector layout, then the
+            # SCDA layout, chaining the first error if both fail.
+            try:
+                restored = ckpt.restore_checkpoint(save_dir, template,
+                                                   args.checkpoint_step)
+                params = restored.params
+                state_kind = "det"
+            except (ValueError, KeyError, TypeError) as det_err:
+                from scda_tpu.adapt.scda import (
+                    create_scda_state, init_discriminator,
+                )
+
+                d_model, d_params = init_discriminator(
+                    cfg, model, jax.random.key(1))
+                scda_template = create_scda_state(cfg, template, d_params)
+                try:
+                    restored = ckpt.restore_checkpoint(
+                        save_dir, scda_template, args.checkpoint_step)
+                except Exception:
+                    raise RuntimeError(
+                        f"checkpoint at {save_dir} matches neither the "
+                        "detector nor the SCDA state layout"
+                    ) from det_err
+                params = restored.det.params
+                state_kind = "scda"
+            print(f"loaded {state_kind} checkpoint (layout probed by "
+                  f"restore) step {args.checkpoint_step or step} "
+                  f"from {save_dir}")
+        elif state_kind == "scda":
             from scda_tpu.adapt.scda import (
                 create_scda_state, init_discriminator,
             )

@@ -292,25 +292,36 @@ class DataLoader:
             [r.height > r.width for r in dataset.records], bool
         )
 
+    def _groups(self) -> List[np.ndarray]:
+        """Record-index groups exactly as batching sees them."""
+        if not self.cfg.orientation_aware:
+            return [np.arange(len(self.dataset))]
+        all_idx = np.arange(len(self.dataset))
+        groups = [all_idx[~self._portrait], all_idx[self._portrait]]
+        return [g for g in groups if len(g)]
+
     def __len__(self) -> int:
-        n_land = int((~self._portrait).sum())
-        n_port = int(self._portrait.sum())
+        """Batches per epoch — must agree EXACTLY with __iter__ (it
+        feeds steps_per_epoch and hence the LR-decay schedule)."""
+        sizes = [len(g) for g in self._groups()]
         if self.pad_final:
-            return sum(-(-n // self.batch_size)
-                       for n in (n_land, n_port) if n)
-        full = sum(n // self.batch_size for n in (n_land, n_port))
-        return max(full, 1)
+            return sum(-(-n // self.batch_size) for n in sizes)
+        full = sum(n // self.batch_size for n in sizes)
+        # Whole dataset smaller than one batch: one wrapped batch.
+        return full if full else 1
 
     def _epoch_batches(self) -> List[np.ndarray]:
         """Record-index arrays, one per batch, orientation-bucketed."""
-        if not self.cfg.orientation_aware:
-            groups = [np.arange(len(self.dataset))]
-        else:
-            all_idx = np.arange(len(self.dataset))
-            groups = [all_idx[~self._portrait], all_idx[self._portrait]]
-            groups = [g for g in groups if len(g)]
+        groups = self._groups()
+        full_total = sum(len(g) // self.batch_size for g in groups)
+        # Entire dataset smaller than one batch: wrap exactly ONE group
+        # (the largest) into a single full batch so smoke runs still
+        # train; len() == 1 matches.
+        wrap_group = (int(np.argmax([len(g) for g in groups]))
+                      if full_total == 0 else None)
         batches: List[np.ndarray] = []
-        for idx in groups:
+        for gi, idx in enumerate(groups):
+            idx = idx.copy()
             if self.shuffle:
                 self.rng.shuffle(idx)
             if self.pad_final:
@@ -318,7 +329,13 @@ class DataLoader:
             else:
                 n = (len(idx) // self.batch_size) * self.batch_size
                 if n == 0:
-                    # Tiny group: wrap around to fill one batch.
+                    # A group smaller than a batch: DROP it this epoch
+                    # (uniform drop-tail semantics) — wrap-tiling would
+                    # oversample its images batch_size/len(group)-fold
+                    # inside one SGD step — unless it is the designated
+                    # wrap group of an all-tiny dataset.
+                    if gi != wrap_group:
+                        continue
                     reps = -(-self.batch_size // len(idx))
                     idx = np.tile(idx, reps)[: self.batch_size]
                 else:

@@ -69,13 +69,18 @@ def run_inference(
     seen = set()
     t0 = time.perf_counter()
     compile_time = 0.0
+    # Orientation bucketing can yield TWO canvas shapes; each new shape
+    # triggers its own XLA compile — exclude every first-of-shape batch
+    # from the throughput number, not just batch 0.
+    compiled_shapes: set = set()
     for bi, batch in enumerate(loader):
         tb = time.perf_counter()
         dets = eval_fn(params, jnp.asarray(batch.image),
                        jnp.asarray(batch.im_info))
         dets = jax.device_get(dets)
-        if bi == 0:
-            compile_time = time.perf_counter() - tb
+        if batch.image.shape not in compiled_shapes:
+            compiled_shapes.add(batch.image.shape)
+            compile_time += time.perf_counter() - tb
         for k in range(batch.image.shape[0]):
             rec_idx = int(batch.indices[k])
             if rec_idx in seen:

@@ -50,15 +50,23 @@ def _build(lib_path: str) -> bool:
         # Fallback without OpenMP.
         ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
     ]
-    for cmd in cmds:
+    try:
+        for cmd in cmds:
+            try:
+                r = subprocess.run(cmd, capture_output=True, timeout=120)
+                if r.returncode == 0:
+                    os.replace(tmp, lib_path)
+                    return True
+            except (OSError, subprocess.TimeoutExpired):
+                return False
+        return False
+    finally:
+        # Both compiler attempts failed (or the success path already
+        # os.replace'd): never leave an orphaned partial object behind.
         try:
-            r = subprocess.run(cmd, capture_output=True, timeout=120)
-            if r.returncode == 0:
-                os.replace(tmp, lib_path)
-                return True
-        except (OSError, subprocess.TimeoutExpired):
-            return False
-    return False
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def _load() -> Optional[ctypes.CDLL]:

@@ -189,57 +189,31 @@ def roi_align_grouped_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in for `roi_ops.roi_align_grouped` / `_legacy_grouped` with the
-    fused Pallas contraction.  Returns (B, R, P, P, C) in features.dtype."""
+    fused Pallas contraction.  Returns (B, R, P, P, C) in features.dtype.
+
+    The sampling spec lives in roi_ops (`roi_align_axis_weights` /
+    `_legacy_axis_weights`) — shared with the einsum path, so the two
+    backends cannot drift numerically.
+    """
     from scda_tpu.ops.roi_ops import (
-        _axis_weights, _legacy_axis_weights, _legacy_sample_coords,
+        _legacy_axis_weights, _legacy_sample_coords, roi_align_axis_weights,
     )
 
-    b, height, width, c = features.shape
+    _, height, width, _ = features.shape
     p = output_size
     orig_dtype = features.dtype
-    boxes = jax.lax.stop_gradient(rois.astype(jnp.float32))
 
     if legacy:
+        boxes = jax.lax.stop_gradient(rois.astype(jnp.float32))
         ys, xs = _legacy_sample_coords(boxes, spatial_scale, p)  # (B,R,P)
         wy = _legacy_axis_weights(ys, height)
         wx = _legacy_axis_weights(xs, width)
     else:
-        adaptive = int(sampling_ratio) <= 0
-        s = (max(-(-max(height, width) // p), 1) if adaptive
-             else max(int(sampling_ratio), 1))
-        offset = 0.5 if aligned else 0.0
-        x1 = boxes[..., 0] * spatial_scale - offset
-        y1 = boxes[..., 1] * spatial_scale - offset
-        x2 = boxes[..., 2] * spatial_scale - offset
-        y2 = boxes[..., 3] * spatial_scale - offset
-        roi_w, roi_h = x2 - x1, y2 - y1
-        if not aligned:
-            roi_w = jnp.maximum(roi_w, 1.0)
-            roi_h = jnp.maximum(roi_h, 1.0)
-        bin_w, bin_h = roi_w / p, roi_h / p
-        ph = jnp.arange(p, dtype=jnp.float32)
-        k = jnp.arange(s, dtype=jnp.float32)
-        if adaptive:
-            sy = jnp.clip(jnp.ceil(roi_h / p), 1, s)
-            sx = jnp.clip(jnp.ceil(roi_w / p), 1, s)
-            fy = (k + 0.5) / sy[..., None]
-            fx = (k + 0.5) / sx[..., None]
-            my = (k < sy[..., None]).astype(jnp.float32)
-            mx = (k < sx[..., None]).astype(jnp.float32)
-            my = jnp.broadcast_to(my[..., None, :], (b, rois.shape[1], p, s))
-            mx = jnp.broadcast_to(mx[..., None, :], (b, rois.shape[1], p, s))
-            dy, dx = sy[..., None, None], sx[..., None, None]
-        else:
-            fy = fx = jnp.broadcast_to((k + 0.5) / s, boxes.shape[:2] + (s,))
-            my = mx = dy = dx = None
-        ys = (y1[..., None, None]
-              + (ph[None, None, :, None] + fy[..., None, :])
-              * bin_h[..., None, None])
-        xs = (x1[..., None, None]
-              + (ph[None, None, :, None] + fx[..., None, :])
-              * bin_w[..., None, None])
-        wy = _axis_weights(ys, height, my, dy)
-        wx = _axis_weights(xs, width, mx, dx)
+        wy, wx = roi_align_axis_weights(
+            rois, height, width, output_size=p,
+            spatial_scale=spatial_scale, sampling_ratio=sampling_ratio,
+            aligned=aligned,
+        )
 
     out = roi_align_contract(wy, wx, features, r_tile=r_tile,
                              interpret=interpret)

@@ -308,25 +308,28 @@ def _axis_weights(coords: jnp.ndarray, size: int,
     return jnp.sum(w, axis=-2) / denom
 
 
-def roi_align_grouped(
-    features: jnp.ndarray,   # (B, H, W, C)
+def roi_align_axis_weights(
     rois: jnp.ndarray,       # (B, R, 4) per-image boxes, image coords
+    height: int,
+    width: int,
     *,
     output_size: int = 7,
     spatial_scale: float = 1.0 / 16.0,
     sampling_ratio: int = 2,
     aligned: bool = False,
-) -> jnp.ndarray:
-    """RoI Align for per-image grouped rois, as two MXU contractions.
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-axis RoI-Align weight matrices (wy (B,R,P,H), wx (B,R,P,W)).
 
-    Returns (B, R, P, P, C) in the dtype of ``features``.
+    The SINGLE source of the torchvision/adaptive sampling spec — both
+    the einsum form (:func:`roi_align_grouped`) and the fused Pallas
+    kernel (ops/pallas/roi_align_kernel.py) contract these against the
+    feature map, so their numerics agree by construction.
     """
-    b, height, width, c = features.shape
+    b = rois.shape[0]
     p = output_size
     adaptive = int(sampling_ratio) <= 0
     s = (max(-(-max(height, width) // p), 1) if adaptive
          else max(int(sampling_ratio), 1))
-    orig_dtype = features.dtype
 
     boxes = jax.lax.stop_gradient(rois.astype(jnp.float32))
     offset = 0.5 if aligned else 0.0
@@ -372,6 +375,29 @@ def roi_align_grouped(
 
     wy = _axis_weights(ys, height, my, dy)           # (B, R, P, H)
     wx = _axis_weights(xs, width, mx, dx)            # (B, R, P, W)
+    return wy, wx
+
+
+def roi_align_grouped(
+    features: jnp.ndarray,   # (B, H, W, C)
+    rois: jnp.ndarray,       # (B, R, 4) per-image boxes, image coords
+    *,
+    output_size: int = 7,
+    spatial_scale: float = 1.0 / 16.0,
+    sampling_ratio: int = 2,
+    aligned: bool = False,
+) -> jnp.ndarray:
+    """RoI Align for per-image grouped rois, as two MXU contractions.
+
+    Returns (B, R, P, P, C) in the dtype of ``features``.
+    """
+    b, height, width, c = features.shape
+    orig_dtype = features.dtype
+    wy, wx = roi_align_axis_weights(
+        rois, height, width, output_size=output_size,
+        spatial_scale=spatial_scale, sampling_ratio=sampling_ratio,
+        aligned=aligned,
+    )
 
     feat = features.astype(jnp.float32)
     # (B, R, P, H) x (B, H, W, C) -> (B, R, P, W, C)

@@ -304,6 +304,61 @@ class TestCocoLoader:
         assert len(ds2) == 2
 
 
+class TestPreMarkerScdaCheckpoint:
+    def test_eval_restores_scda_layout_without_metadata(self, tmp_path,
+                                                        monkeypatch):
+        """A pre-state_kind-marker SCDA checkpoint whose Orbax metadata
+        probe fails must still evaluate: the CLI falls back to trying
+        the det layout then the SCDA layout (regression: r2 review —
+        the probe's empty answer used to hard-default to 'det' and
+        crash)."""
+        import dataclasses
+
+        import jax
+
+        from helpers import tiny_config
+        from scda_tpu.adapt.scda import (
+            create_scda_state, init_discriminator,
+        )
+        from scda_tpu.models.faster_rcnn import build_model, init_params
+        from scda_tpu.train import checkpoint as ckpt
+        from scda_tpu.train.state import create_train_state
+
+        cfg0 = tiny_config()
+        cfg = dataclasses.replace(
+            cfg0, adapt=dataclasses.replace(cfg0.adapt, enabled=True))
+        model = build_model(cfg.model)
+        h, w = cfg.data.image_size
+        params = init_params(model, jax.random.key(0), (1, h, w, 3))
+        d_model, d_params = init_discriminator(cfg, model, jax.random.key(1))
+        state = create_scda_state(cfg, create_train_state(cfg, params),
+                                  d_params)
+        save_dir = os.path.join(tmp_path, "tiny", "synthetic")
+        os.makedirs(save_dir, exist_ok=True)
+        ckpt.save_checkpoint(save_dir, state, 1)
+        ckpt.wait_for_saves()
+        # No config.json marker + unreadable metadata.
+        monkeypatch.setattr(ckpt, "checkpoint_top_level_keys",
+                            lambda *a, **k: [])
+
+        from scda_tpu.cli import test_net
+
+        rc = test_net.main([
+            "--dataset", "synthetic", "--net", "tiny",
+            "--load_dir", str(tmp_path), "--checkpoint_dataset",
+            "synthetic", "--synth_images", "2", "--synth_size", "64", "96",
+            "--num_devices", "1",
+            # Shape-relevant knobs must match the checkpoint's
+            # tiny_config (rpn width, anchor count).
+            "--set", "model.rpn_channels", "64",
+            "anchors.scales", "2 4 8",
+            "test.proposal.pre_nms_top_n", "64",
+            "test.proposal.post_nms_top_n", "16",
+            "test.max_dets_per_class", "4", "test.max_per_image", "8",
+        ])
+        assert rc == 0
+
+
 class TestImagenetLoader:
     def test_loads_ilsvrc_det_tree(self, tmp_path):
         from PIL import Image

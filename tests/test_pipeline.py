@@ -118,6 +118,43 @@ class TestOrientationBucketing:
         batches = list(loader)
         assert len(batches) == 3
 
+    def test_len_matches_iter_in_every_mode(self, tmp_path):
+        """len(loader) feeds steps_per_epoch and the LR schedule — it
+        must equal the number of batches __iter__ yields, for every
+        combination of orientation mix / orientation_aware / pad_final,
+        including tiny minority groups (regression: r2 review)."""
+        import dataclasses
+
+        sizes = [(50, 80)] * 7 + [(80, 50)]  # 7 landscape + 1 portrait
+        ds = _dataset(tmp_path, sizes)
+        cfg = DataConfig(image_size=(64, 96), scale=48, max_size=96,
+                         max_gt_boxes=4)
+        for oa in (True, False):
+            c = dataclasses.replace(cfg, orientation_aware=oa)
+            for pad_final in (True, False):
+                loader = DataLoader(ds, c, 4, shuffle=False,
+                                    augment_flip=False,
+                                    pad_final=pad_final, num_workers=0)
+                batches = list(loader)
+                assert len(batches) == len(loader), (oa, pad_final)
+                if not pad_final:
+                    # No image may repeat within a train epoch
+                    # (minority wrap-tiling would oversample it).
+                    idx = np.concatenate([b.indices for b in batches])
+                    assert len(np.unique(idx)) == len(idx), (oa, pad_final)
+
+    def test_all_tiny_dataset_wraps_one_batch(self, tmp_path):
+        sizes = [(50, 80)] * 3 + [(80, 50)] * 2  # both groups < bs
+        ds = _dataset(tmp_path, sizes)
+        cfg = DataConfig(image_size=(64, 96), scale=48, max_size=96,
+                         max_gt_boxes=4)
+        loader = DataLoader(ds, cfg, 8, shuffle=False, augment_flip=False,
+                            num_workers=0)
+        assert len(loader) == 1
+        batches = list(loader)
+        assert len(batches) == 1
+        assert batches[0].image.shape[0] == 8
+
 
 class TestLoaderWorkers:
     def test_multiworker_matches_single_thread(self, tmp_path):
