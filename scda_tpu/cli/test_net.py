@@ -132,6 +132,8 @@ def main(argv=None) -> int:
     ckpt_ds = args.checkpoint_dataset or dataset.name
     save_dir = os.path.join(args.load_dir, args.net, ckpt_ds)
     step = ckpt.latest_step(save_dir)
+    # --checkpoint_step 0 is a real step; only None means 'latest'.
+    shown_step = step if args.checkpoint_step is None else args.checkpoint_step
     if step is not None:
         if state_kind is None:
             # Checkpoints from before the config.json marker: probe the
@@ -153,7 +155,10 @@ def main(argv=None) -> int:
                                                    args.checkpoint_step)
                 params = restored.params
                 state_kind = "det"
-            except (ValueError, KeyError, TypeError) as det_err:
+            except Exception as det_err:  # noqa: BLE001 — restore errors
+                # span Orbax/asyncio/OS types; any failure here means
+                # "not the det layout", so fall through to SCDA (both
+                # failing re-raises det_err chained below).
                 from scda_tpu.adapt.scda import (
                     create_scda_state, init_discriminator,
                 )
@@ -172,7 +177,7 @@ def main(argv=None) -> int:
                 params = restored.det.params
                 state_kind = "scda"
             print(f"loaded {state_kind} checkpoint (layout probed by "
-                  f"restore) step {args.checkpoint_step or step} "
+                  f"restore) step {shown_step} "
                   f"from {save_dir}")
         elif state_kind == "scda":
             from scda_tpu.adapt.scda import (
@@ -186,12 +191,12 @@ def main(argv=None) -> int:
                                                args.checkpoint_step)
             params = restored.det.params
             print(f"loaded SCDA checkpoint step "
-                  f"{args.checkpoint_step or step} from {save_dir}")
+                  f"{shown_step} from {save_dir}")
         else:
             restored = ckpt.restore_checkpoint(save_dir, template,
                                                args.checkpoint_step)
             params = restored.params
-            print(f"loaded checkpoint step {args.checkpoint_step or step} "
+            print(f"loaded checkpoint step {shown_step} "
                   f"from {save_dir}")
     else:
         print(f"WARNING: no checkpoint under {save_dir}; evaluating "

@@ -291,6 +291,15 @@ class DataLoader:
         self._portrait = np.array(
             [r.height > r.width for r in dataset.records], bool
         )
+        if not pad_final:
+            sizes = [len(g) for g in self._groups()]
+            if sum(n // batch_size for n in sizes) and any(
+                    0 < n < batch_size for n in sizes):
+                dropped = sum(n for n in sizes if n < batch_size)
+                print(f"WARNING: {dropped} image(s) in an orientation "
+                      f"group smaller than batch_size={batch_size} are "
+                      "excluded from training (shrink the batch or set "
+                      "data.orientation_aware=false)", flush=True)
 
     def _groups(self) -> List[np.ndarray]:
         """Record-index groups exactly as batching sees them."""

@@ -71,8 +71,10 @@ def run_inference(
     compile_time = 0.0
     # Orientation bucketing can yield TWO canvas shapes; each new shape
     # triggers its own XLA compile — exclude every first-of-shape batch
-    # from the throughput number, not just batch 0.
+    # (its images AND its time) from the throughput number, not just
+    # batch 0.
     compiled_shapes: set = set()
+    excluded_images = 0
     for bi, batch in enumerate(loader):
         tb = time.perf_counter()
         dets = eval_fn(params, jnp.asarray(batch.image),
@@ -81,6 +83,7 @@ def run_inference(
         if batch.image.shape not in compiled_shapes:
             compiled_shapes.add(batch.image.shape)
             compile_time += time.perf_counter() - tb
+            excluded_images += batch.image.shape[0]
         for k in range(batch.image.shape[0]):
             rec_idx = int(batch.indices[k])
             if rec_idx in seen:
@@ -96,8 +99,14 @@ def run_inference(
                 )
         if progress and bi % 20 == 0:
             print(f"  eval {len(seen)}/{len(ids)}", flush=True)
-    elapsed = time.perf_counter() - t0 - compile_time
-    ips = len(seen) / max(elapsed, 1e-9)
+    total = time.perf_counter() - t0
+    measured = len(seen) - min(excluded_images, len(seen))
+    if measured > 0:
+        ips = measured / max(total - compile_time, 1e-9)
+    else:
+        # Every batch was first-of-shape (tiny eval sets): the honest
+        # number includes compile rather than dividing ~zero time.
+        ips = len(seen) / max(total, 1e-9)
     return dict(all_dets), ips
 
 
