@@ -236,7 +236,10 @@ def scda_forward_alternating(
     metrics = dict(det_out.metrics)
     metrics.update(
         adv=adv, adv_src=g_loss_s, adv_tgt=g_loss_t, d_loss=d_loss,
-        d_acc=0.5 * (acc_s + acc_t), loss=total,
+        d_acc=0.5 * (acc_s + acc_t),
+        # Logged 'loss' excludes d_loss so curves are comparable with
+        # the joint schedule (d_loss is exposed separately; r2 advisor).
+        loss=det_out.loss + ac.adv_weight * adv,
     )
     return total, metrics
 

@@ -169,10 +169,16 @@ def main(argv=None) -> int:
                 try:
                     restored = ckpt.restore_checkpoint(
                         save_dir, scda_template, args.checkpoint_step)
-                except Exception:
+                except Exception as scda_err:  # noqa: BLE001 — same span
+                    # Surface BOTH underlying failures: a det-layout
+                    # checkpoint failing for a *real* reason (corrupt
+                    # array, wrong --set shapes) would otherwise be
+                    # reported only as "wrong layout" (r2 advisor).
                     raise RuntimeError(
                         f"checkpoint at {save_dir} matches neither the "
-                        "detector nor the SCDA state layout"
+                        "detector nor the SCDA state layout.\n"
+                        f"  detector-layout restore error: {det_err!r}\n"
+                        f"  SCDA-layout restore error: {scda_err!r}"
                     ) from det_err
                 params = restored.det.params
                 state_kind = "scda"

@@ -221,6 +221,15 @@ class DataConfig:
     use_flipped: bool = True         # ref cfg.TRAIN.USE_FLIPPED
     num_workers: int = 8             # decode threads (0 = single thread)
     cache_mb: int = 512              # decoded-image (uint8) cache budget
+    # Derived-canvas alignment: 16 is the feature-stride minimum; 32
+    # (default) makes infer_canvas reproduce the benchmarked presets
+    # (e.g. Cityscapes 500x1000 content -> 512x1024, not 512x1008).
+    canvas_align: int = 32
+    # Optional on-disk preprocessed-canvas cache directory ("" = off):
+    # prepared float32 canvases are mmap-read after a one-time build, so
+    # real-dataset-scale splits feed the device at rate on a 1-core host
+    # (the in-RAM u8 cache cannot hold a full Cityscapes split).
+    canvas_cache_dir: str = ""
 
 
 @dataclass(frozen=True)

@@ -33,7 +33,13 @@ from scda_tpu.data.voc import Dataset, ImageRecord, register_dataset
 
 def load_synset_map(meta_file: str) -> Dict[str, str]:
     """Parse a ``wnid name`` text file (one synset per line; the name may
-    contain spaces — everything after the first field)."""
+    contain spaces — everything after the first field).
+
+    The returned dict preserves FILE LINE ORDER (insertion-ordered): the
+    reference resolves class order from the devkit ``meta_det`` ordering
+    (ref lib/datasets/imagenet.py:~40), so label indices must follow the
+    file, not a sort, to stay compatible with reference checkpoints.
+    """
     mapping: Dict[str, str] = {}
     with open(meta_file) as f:
         for line in f:
@@ -86,7 +92,8 @@ def load_imagenet_det_dataset(
       root: devkit root (contains ImageSets/, Annotations/, Data/).
       split: e.g. "train", "val".
       wnids: synset ids to keep, in label order (default: every wnid in
-        ``synset_map`` / ``root/meta_det.txt``, sorted).
+        ``synset_map`` / ``root/meta_det.txt`` in FILE ORDER — the
+        reference's devkit meta_det ordering, which fixes label ids).
       synset_map: wnid -> human-readable class name (default: read from
         ``root/meta_det.txt`` if present; else names = wnids).
     """
@@ -94,7 +101,10 @@ def load_imagenet_det_dataset(
         meta = os.path.join(root, "meta_det.txt")
         synset_map = load_synset_map(meta) if os.path.exists(meta) else {}
     if wnids is None:
-        wnids = sorted(synset_map) if synset_map else None
+        # Preserve meta_det line order (reference-compatible label ids);
+        # dicts are insertion-ordered, and load_synset_map inserts in
+        # file order.
+        wnids = list(synset_map) if synset_map else None
         if wnids is None:
             raise ValueError(
                 "need wnids or a synset map (root/meta_det.txt) to fix the "

@@ -80,14 +80,19 @@ def run_inference(
         dets = eval_fn(params, jnp.asarray(batch.image),
                        jnp.asarray(batch.im_info))
         dets = jax.device_get(dets)
-        if batch.image.shape not in compiled_shapes:
+        first_of_shape = batch.image.shape not in compiled_shapes
+        if first_of_shape:
             compiled_shapes.add(batch.image.shape)
             compile_time += time.perf_counter() - tb
-            excluded_images += batch.image.shape[0]
         for k in range(batch.image.shape[0]):
             rec_idx = int(batch.indices[k])
             if rec_idx in seen:
                 continue
+            # Only NEWLY-seen unique records of a first-of-shape batch
+            # count as compile-excluded — wrap-padded duplicate rows
+            # would otherwise undercount ``measured`` (r2 advisor).
+            if first_of_shape:
+                excluded_images += 1
             seen.add(rec_idx)
             image_id = ids[rec_idx]
             valid = dets.valid[k]

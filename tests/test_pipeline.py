@@ -82,11 +82,15 @@ class TestOrientedCanvas:
                         np.zeros(0, np.int32), np.zeros(0, bool)),
         ]
         assert infer_canvas(voc, cfg) == (608, 800)
-        # Cityscapes 1024x2048 -> max_size caps at (500, 1000).
+        # Cityscapes 1024x2048 -> max_size caps at (500, 1000); /32
+        # alignment lands exactly on the benchmarked (512, 1024) preset.
         city = [ImageRecord("c", "", 1024, 2048,
                             np.zeros((0, 4), np.float32),
                             np.zeros(0, np.int32), np.zeros(0, bool))]
-        assert infer_canvas(city, cfg) == (512, 1008)
+        assert infer_canvas(city, cfg) == (512, 1024)
+        # /16 alignment opt-in reproduces the minimal canvas.
+        cfg16 = DataConfig(scale=600, max_size=1000, canvas_align=16)
+        assert infer_canvas(city, cfg16) == (512, 1008)
 
 
 class TestOrientationBucketing:
