@@ -1,89 +1,311 @@
-"""Benchmark: flagship VGG16 Faster R-CNN inference images/sec on one chip.
+"""Benchmark: all five BASELINE.json configs on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Emits one JSON line per config as it completes, then the HEADLINE line
+LAST — the driver records the final line; it carries the whole
+per-config table in its ``configs`` field, so ``BENCH_r{N}.json`` proves
+the full RESULTS.md table, not just config #1 (r2 VERDICT missing #2).
 
-Config mirrors BASELINE.json config #1: single-image VGG16 Faster R-CNN
-inference (backbone + RPN + proposal NMS + RoI align + head + per-class
-NMS postprocess) on a Cityscapes-sized frame (1024x2048 scaled by the
-reference rule to 500x1000 on a 512x1024 canvas).
+Configs (BASELINE.json `configs`, RESULTS.md table):
+  inference_bs1  #1  VGG16 Faster R-CNN serving, bs=1   (headline)
+  inference_bs8  #1' VGG16 serving, bs=8
+  train_bs1      #2  source-only train step, bs=1
+  train_bs8      #2' source-only train step, bs=8
+  scda_bs1       #3  SCDA adaptation step (joint/GRL), bs=1
+  scda_car       #4  car-only SCDA (class-agnostic, alternating D/G)
+  res101_ms      #5  ResNet-101 + multi-scale RoI align, inference bs=1
 
-``vs_baseline`` compares against 5.0 img/s — the upstream
-faster-rcnn.pytorch lineage's commonly reported single-image VGG16
-inference rate on the paper-era GPU class (Titan X); the reference
-publishes no throughput numbers (BASELINE.md).
+Inputs are STRUCTURED fixture scenes (colored-rectangle Cityscapes-size
+frames through the real prep pipeline), not Gaussian noise — proposal
+NMS cost depends on the score distribution (r2 VERDICT weak #2).
+
+``vs_baseline`` divides by reference-class paper-era GPU estimates
+(the reference publishes no throughput numbers — BASELINE.md): 5.0
+img/s single-image VGG16 inference (upstream faster-rcnn.pytorch
+lineage on Titan X class), 2.5 img/s bs=1 training, 1.5 img/s SCDA
+(two towers + D), 4.0 img/s ResNet-101 inference.
+
+Timing: distinct pre-staged inputs; a host fetch of a scalar from the
+LAST output is the completion barrier (the tunneled runtime executes
+in order; block_until_ready alone can return early).  Median of
+``repeats`` samples with spread.
+
+Env knobs:
+  SCDA_BENCH_CONFIGS  comma list to subset (default: all)
+  SCDA_BENCH_QUICK=1  quarter iteration counts (smoke)
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import os
 import time
 
-BASELINE_IMG_PER_SEC = 5.0
+import numpy as np
+
+HEADLINE = "inference_bs1"
+HEADLINE_METRIC = "vgg16_fasterrcnn_inference_images_per_sec_per_chip"
+
+BASELINES_IMG_PER_SEC = {
+    "inference_bs1": 5.0,
+    "inference_bs8": 5.0,
+    "train_bs1": 2.5,
+    "train_bs8": 2.5,
+    "scda_bs1": 1.5,
+    "scda_car": 1.5,
+    "res101_ms": 4.0,
+}
+
+QUICK = os.environ.get("SCDA_BENCH_QUICK", "") not in ("", "0")
 
 
-def main() -> None:
+def _iters(n: int) -> int:
+    return max(n // 4, 3) if QUICK else n
+
+
+def _structured_batches(cfg, n_batches, batch_size, seed=0, fog=0.0,
+                        classes=None):
+    """Distinct Cityscapes-size structured scenes -> prepped canvases.
+
+    Returns list of (image (B,H,W,3) f32, im_info (B,3), gt (B,G,5),
+    num (B,)) numpy batches, via the REAL prep path (BGR, mean
+    subtract, scale rule, fixed canvas).
+    """
+    from scda_tpu.data.pipeline import prepare_image
+    from scda_tpu.data.synthetic import SYNTH_CLASSES, _draw_scene
+
+    classes = classes or SYNTH_CLASSES
+    rng = np.random.RandomState(seed)
+    g = cfg.data.max_gt_boxes
+    batches = []
+    for _ in range(n_batches):
+        imgs, infos, gts, nums = [], [], [], []
+        for _ in range(batch_size):
+            rgb, boxes, labels = _draw_scene(
+                rng, 1024, 2048, max_objects=8, classes=classes, fog=fog)
+            bgr = np.ascontiguousarray(rgb[:, :, ::-1])
+            canvas, scale, (vh, vw) = prepare_image(bgr, cfg.data)
+            gt = np.zeros((g, 5), np.float32)
+            n = min(len(boxes), g)
+            gt[:n, :4] = boxes[:n] * scale
+            gt[:n, 4] = labels[:n]
+            imgs.append(canvas)
+            infos.append([vh, vw, scale])
+            gts.append(gt)
+            nums.append(n)
+        batches.append((
+            np.stack(imgs), np.asarray(infos, np.float32),
+            np.stack(gts), np.asarray(nums, np.int32),
+        ))
+    return batches
+
+
+def _median_spread(samples):
+    return (float(np.median(samples)),
+            [round(float(min(samples)), 2), round(float(max(samples)), 2)])
+
+
+def _serving_cfg(preset="vgg16", **model_over):
+    from scda_tpu.config import get_config, replace_path
+
+    cfg = get_config(preset)
+    cfg = replace_path(cfg, "test.bf16_weights", True)
+    cfg = replace_path(cfg, "data.image_size", (512, 1024))
+    for k, v in model_over.items():
+        cfg = replace_path(cfg, f"model.{k}", v)
+    return cfg
+
+
+def bench_inference(batch_size=1, preset="vgg16", **model_over):
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    from scda_tpu.config import get_config
+    from scda_tpu.evals.detect import bf16_inference_params
     from scda_tpu.models.detector import forward_inference
     from scda_tpu.models.faster_rcnn import build_model, init_params
 
-    cfg = get_config("vgg16")
+    cfg = _serving_cfg(preset, **model_over)
     model = build_model(cfg.model)
-    from scda_tpu.evals.detect import bf16_inference_params
-    h, w = cfg.data.image_size
-    # Conv/dense param shapes are independent of the canvas; init on a
-    # small image to keep the init program's compile cheap.
     params = init_params(model, jax.random.key(0), (1, 64, 96, 3))
-    # Serving config: bf16 kernels (test.bf16_weights) — inference is
-    # weight-HBM-bound; measured +5% with ~2e-4 score drift (RESULTS.md).
+    # Serving config: bf16 kernels (cfg.test.bf16_weights above) —
+    # inference is weight-HBM-bound (+5%, drift ~2e-4; RESULTS.md).
     params = bf16_inference_params(params)
 
     @jax.jit
     def fn(params, image, im_info):
         return forward_inference(model, params, image, im_info, cfg)
 
-    rng = np.random.RandomState(0)
-    im_info = jnp.asarray([[500.0, 1000.0, 0.488]], jnp.float32)
-
-    # Distinct pre-staged inputs; identical inputs + block_until_ready
-    # measure nothing on the tunneled runtime (executions overlap and
-    # block_until_ready can return before completion).  The device runs
-    # executions in order, so fetching a scalar of the LAST output to
-    # the host is the completion barrier for the whole queue.
     n_inputs = 8
-    images = [
-        jax.device_put(
-            jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32) * 30))
-        for _ in range(n_inputs)
-    ]
+    raw = _structured_batches(cfg, n_inputs, batch_size, seed=1)
+    images = [jax.device_put(jnp.asarray(b[0])) for b in raw]
+    infos = [jax.device_put(jnp.asarray(b[1])) for b in raw]
     jax.block_until_ready(images)
 
-    # Warmup (includes compile; cached on subsequent runs).
-    out = fn(params, images[0], im_info)
+    out = fn(params, images[0], infos[0])   # compile + warmup
     np.asarray(out.scores[0, 0:1])
 
-    # Median of 5 repeats — single samples swing ±10% through the
-    # tunneled runtime (RESULTS.md), so one draw over-/under-reports.
-    iters, repeats = 100, 5
+    iters, repeats = _iters(100 if batch_size == 1 else 40), 5
     samples = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         for i in range(iters):
-            out = fn(params, images[i % n_inputs], im_info)
-        np.asarray(out.scores[0, 0:1])  # host fetch = true completion
-        samples.append(iters / (time.perf_counter() - t0))
-    ips = float(np.median(samples))
+            out = fn(params, images[i % n_inputs], infos[i % n_inputs])
+        np.asarray(out.scores[0, 0:1])      # host fetch = barrier
+        samples.append(iters * batch_size / (time.perf_counter() - t0))
+    med, spread = _median_spread(samples)
+    return med, spread, "bfloat16"
 
-    print(json.dumps({
-        "metric": "vgg16_fasterrcnn_inference_images_per_sec_per_chip",
-        "value": round(ips, 2),
-        "unit": "images/sec",
-        "vs_baseline": round(ips / BASELINE_IMG_PER_SEC, 2),
-        "spread": [round(min(samples), 2), round(max(samples), 2)],
-    }))
+
+def bench_train(batch_size=1):
+    import jax
+    import jax.numpy as jnp
+
+    from scda_tpu.config import get_config, replace_path
+    from scda_tpu.models.faster_rcnn import build_model, init_params
+    from scda_tpu.train.state import create_train_state
+    from scda_tpu.train.steps import make_train_step
+
+    cfg = get_config("vgg16")
+    cfg = replace_path(cfg, "data.image_size", (512, 1024))
+    cfg = replace_path(cfg, "train.batch_size", batch_size)
+    model = build_model(cfg.model)
+    params = init_params(model, jax.random.key(0), (1, 64, 96, 3))
+    state = create_train_state(cfg, params)
+    step = make_train_step(model, cfg)
+    rng = jax.random.key(7)
+
+    n_inputs = 4
+    raw = _structured_batches(cfg, n_inputs, batch_size, seed=2)
+    dev = [tuple(jax.device_put(jnp.asarray(x)) for x in b) for b in raw]
+    jax.block_until_ready(dev)
+
+    state, m = step(state, *dev[0], rng)    # compile + warmup
+    float(m["loss"])
+
+    iters, repeats = _iters(30), 5
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, m = step(state, *dev[i % n_inputs], rng)
+        float(m["loss"])                    # host fetch = barrier
+        samples.append(iters * batch_size / (time.perf_counter() - t0))
+    med, spread = _median_spread(samples)
+    return med, spread, "float32"
+
+
+def _bench_scda(car=False):
+    import jax
+    import jax.numpy as jnp
+
+    from scda_tpu.adapt.scda import (
+        create_scda_state, init_discriminator, make_scda_train_step,
+    )
+    from scda_tpu.config import get_config, replace_path
+    from scda_tpu.models.faster_rcnn import build_model, init_params
+    from scda_tpu.train.state import create_train_state
+
+    cfg = get_config("vgg16")
+    cfg = replace_path(cfg, "data.image_size", (512, 1024))
+    cfg = replace_path(cfg, "adapt.enabled", True)
+    classes = None
+    if car:
+        # Config #4 protocol shape: one fg class, class-agnostic head,
+        # alternating (GAN-style) D/G updates (RESULTS.md car-only run).
+        cfg = replace_path(cfg, "model.num_classes", 2)
+        cfg = replace_path(cfg, "model.class_agnostic", True)
+        cfg = replace_path(cfg, "adapt.d_update", "alternating")
+        classes = ("car",)
+
+    model = build_model(cfg.model)
+    params = init_params(model, jax.random.key(0), (1, 64, 96, 3))
+    det_state = create_train_state(cfg, params)
+    d_model, d_params = init_discriminator(cfg, model, jax.random.key(1))
+    state = create_scda_state(cfg, det_state, d_params)
+    step = make_scda_train_step(model, d_model, cfg)
+    rng = jax.random.key(11)
+
+    n_inputs = 4
+    src = _structured_batches(cfg, n_inputs, 1, seed=3, classes=classes)
+    tgt = _structured_batches(cfg, n_inputs, 1, seed=4, fog=0.4,
+                              classes=classes)
+    src_d = [tuple(jax.device_put(jnp.asarray(x)) for x in b) for b in src]
+    tgt_d = [(jax.device_put(jnp.asarray(b[0])),
+              jax.device_put(jnp.asarray(b[1]))) for b in tgt]
+    jax.block_until_ready(src_d)
+
+    state, m = step(state, *src_d[0], *tgt_d[0], rng)
+    float(m["loss"])
+
+    iters, repeats = _iters(20), 5
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, m = step(state, *src_d[i % n_inputs],
+                            *tgt_d[i % n_inputs], rng)
+        float(m["loss"])
+        samples.append(iters / (time.perf_counter() - t0))
+    med, spread = _median_spread(samples)
+    return med, spread, "float32"
+
+
+CONFIG_RUNNERS = {
+    "inference_bs1": lambda: bench_inference(1),
+    "inference_bs8": lambda: bench_inference(8),
+    "train_bs1": lambda: bench_train(1),
+    "train_bs8": lambda: bench_train(8),
+    "scda_bs1": lambda: _bench_scda(car=False),
+    "scda_car": lambda: _bench_scda(car=True),
+    "res101_ms": lambda: bench_inference(
+        1, preset="res101", multiscale_roi=True),
+}
+
+METRIC_NAMES = {
+    "inference_bs1": HEADLINE_METRIC,
+    "inference_bs8": "vgg16_fasterrcnn_inference_bs8_images_per_sec_per_chip",
+    "train_bs1": "vgg16_fasterrcnn_train_bs1_images_per_sec_per_chip",
+    "train_bs8": "vgg16_fasterrcnn_train_bs8_images_per_sec_per_chip",
+    "scda_bs1": "scda_adapt_step_src_images_per_sec_per_chip",
+    "scda_car": "scda_car_alternating_src_images_per_sec_per_chip",
+    "res101_ms": "res101_multiscale_inference_images_per_sec_per_chip",
+}
+
+
+def main() -> None:
+    want = os.environ.get("SCDA_BENCH_CONFIGS", "")
+    names = ([n.strip() for n in want.split(",") if n.strip()] if want
+             else list(CONFIG_RUNNERS))
+    if HEADLINE in names:   # headline must print LAST
+        names = [n for n in names if n != HEADLINE] + [HEADLINE]
+
+    table = {}
+    for name in names:
+        t0 = time.perf_counter()
+        med, spread, wdtype = CONFIG_RUNNERS[name]()
+        entry = {
+            "metric": METRIC_NAMES[name],
+            "value": round(med, 2),
+            "unit": "images/sec",
+            "vs_baseline": round(med / BASELINES_IMG_PER_SEC[name], 2),
+            "spread": spread,
+            "weights_dtype": wdtype,
+            "wall_s": round(time.perf_counter() - t0, 1),
+        }
+        table[name] = entry
+        if name != HEADLINE:
+            print(json.dumps(entry), flush=True)
+
+    head = table.get(HEADLINE)
+    if head is None:        # subset run without the headline config
+        last = table[names[-1]]
+        print(json.dumps(last), flush=True)
+        return
+    final = dict(head)
+    final["configs"] = {k: {kk: vv for kk, vv in v.items()
+                            if kk != "metric"}
+                        for k, v in table.items()}
+    print(json.dumps(final), flush=True)
 
 
 if __name__ == "__main__":

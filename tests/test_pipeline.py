@@ -209,3 +209,75 @@ class TestGtBoxScaling:
         assert n == 1
         np.testing.assert_allclose(gt[0, :4], [16.0, 32.0, 176.0, 352.0],
                                    rtol=1e-6)
+
+
+class TestCanvasDiskCache:
+    """Disk-backed preprocessed-canvas store (r2 VERDICT missing #3)."""
+
+    def _cfg(self, tmp_path, **kw):
+        return DataConfig(
+            image_size=(64, 96), scale=48, max_size=96, max_gt_boxes=4,
+            canvas_cache_dir=os.path.join(str(tmp_path), "ccache"), **kw,
+        )
+
+    def test_cached_matches_uncached_within_u8_quantization(self, tmp_path):
+        from scda_tpu.data.pipeline import CanvasDiskCache
+
+        cfg = self._cfg(tmp_path)
+        rec = _record(tmp_path, "a", 80, 120, seed=3)
+        cache = CanvasDiskCache(cfg.canvas_cache_dir, cfg)
+        for flip in (False, True):
+            plain = make_example(rec, cfg, flip)
+            cached_cold = make_example(rec, cfg, flip, disk_cache=cache)
+            cached_warm = make_example(rec, cfg, flip, disk_cache=cache)
+            # Cold and warm reads are bit-identical (store round-trip).
+            np.testing.assert_array_equal(cached_cold[0], cached_warm[0])
+            # vs uncached: only the u8 rounding of resized texels
+            # (<= 0.5 intensity) may differ.
+            np.testing.assert_allclose(plain[0], cached_cold[0], atol=0.51)
+            for i in (1, 2, 3):  # im_info, gt, count identical
+                np.testing.assert_array_equal(plain[i], cached_cold[i])
+
+    def test_warm_hit_skips_decode(self, tmp_path, monkeypatch):
+        from scda_tpu.data import pipeline as pl
+
+        cfg = self._cfg(tmp_path)
+        rec = _record(tmp_path, "b", 70, 100, seed=4)
+        cache = pl.CanvasDiskCache(cfg.canvas_cache_dir, cfg)
+        make_example(rec, cfg, disk_cache=cache)  # populate
+
+        def boom(_):
+            raise AssertionError("decode called on a warm cache hit")
+
+        monkeypatch.setattr(pl, "load_image_u8", boom)
+        out = make_example(rec, cfg, disk_cache=cache)
+        assert out[0].shape == (64, 96, 3)
+
+    def test_source_change_invalidates(self, tmp_path):
+        from scda_tpu.data.pipeline import CanvasDiskCache
+
+        cfg = self._cfg(tmp_path)
+        rec = _record(tmp_path, "c", 60, 90, seed=5)
+        cache = CanvasDiskCache(cfg.canvas_cache_dir, cfg)
+        first = make_example(rec, cfg, disk_cache=cache)
+        # Rewrite the source image with different content + mtime.
+        _write_png(rec.image_path, 60, 90, seed=99)
+        os.utime(rec.image_path, (1e9, 1e9))
+        second = make_example(rec, cfg, disk_cache=cache)
+        assert not np.array_equal(first[0], second[0])
+
+    def test_loader_uses_disk_cache(self, tmp_path):
+        cfg = self._cfg(tmp_path)
+        ds = _dataset(tmp_path, [(50, 80), (48, 72)])
+        loader = DataLoader(ds, cfg, 2, shuffle=False, augment_flip=False,
+                            num_workers=2)
+        b1 = next(iter(loader))
+        # Cache populated on epoch 1 ...
+        files = []
+        for root, _, names in os.walk(cfg.canvas_cache_dir):
+            files += [n for n in names if n.endswith(".npy")]
+        assert len(files) == 2
+        # ... and epoch 2 reproduces the same batch from it.
+        b2 = next(iter(loader))
+        np.testing.assert_array_equal(b1.image, b2.image)
+        np.testing.assert_array_equal(b1.gt_boxes, b2.gt_boxes)
