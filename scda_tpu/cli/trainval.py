@@ -70,6 +70,12 @@ def parse_args(argv=None):
     p.add_argument("--synth_images", type=int, default=16)
     p.add_argument("--synth_size", type=int, nargs=2, default=None,
                    metavar=("H", "W"))
+    p.add_argument("--synth_src_size", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="scene size of the SOURCE fixture only (e.g. a "
+                        "KITTI-aspect source vs a Cityscapes-aspect "
+                        "canvas/target, paper Table 3 protocol); default "
+                        "= the canvas size")
     p.add_argument("--synth_fog", type=float, default=0.5,
                    help="fog level of the synthetic_foggy fixture target")
     p.add_argument("--synth_classes", default=None,
@@ -140,12 +146,17 @@ def get_datasets(args, cfg):
 
             from scda_tpu.data.synthetic import make_synthetic_dataset
 
+            src_size = (tuple(args.synth_src_size)
+                        if getattr(args, "synth_src_size", None)
+                        else cfg.data.image_size)
             suffix = f"_c{len(synth_kw['classes'])}" if synth_kw else ""
+            if src_size != tuple(cfg.data.image_size):
+                suffix += f"_s{src_size[0]}x{src_size[1]}"
             return make_synthetic_dataset(
                 os.path.join(tempfile.gettempdir(),
                              f"scda_synth_train{suffix}"),
                 num_images=args.synth_images,
-                image_size=cfg.data.image_size, seed=0, split="train",
+                image_size=src_size, seed=0, split="train",
                 **synth_kw,
             )
         if name == "synthetic_foggy":

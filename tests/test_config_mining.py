@@ -24,6 +24,12 @@ class TestConfig:
             "res101_ms.yml": {"model.multiscale_roi": True},
             "scda_foggy.yml": {"adapt.enabled": True,
                                "adapt.num_groups": 9},
+            "scda_sim10k_car.yml": {"model.class_agnostic": True,
+                                    "adapt.d_update": "alternating"},
+            # Paper Table 3 protocol (KITTI -> Cityscapes car-only).
+            "scda_kitti_car.yml": {"model.class_agnostic": True,
+                                   "adapt.enabled": True,
+                                   "adapt.d_update": "alternating"},
         }.items():
             cfg = config_from_yaml(os.path.join(REPO, "cfgs", name))
             for path, want in checks.items():
@@ -31,6 +37,18 @@ class TestConfig:
                 for part in path.split("."):
                     node = getattr(node, part)
                 assert node == want, (name, path, node)
+
+    def test_kitti_protocol_registered(self):
+        """Paper Table 3 source/target registry names exist (the config
+        shape is exercised at fixture scale by scripts/scda_kitti_ab.sh
+        — same car-only protocol as config #4 with a KITTI-aspect
+        source)."""
+        from scda_tpu.data.voc import list_datasets
+
+        names = list_datasets()
+        assert "kitti_train" in names
+        assert "cityscapes_car_train" in names
+        assert "cityscapes_car_val" in names
 
     def test_dotted_override_coercion(self):
         cfg = Config()

@@ -296,6 +296,36 @@ class TestCliSmoke:
 
         assert map_of(r3.stdout) == map_of(r2.stdout)
 
+    def test_kitti_protocol_cfg_smoke(self, tmp_path):
+        """Paper Table 3 config shape end-to-end at tiny scale:
+        cfgs/scda_kitti_car.yml (car-only, class-agnostic, alternating
+        D/G) with a KITTI-aspect source fixture vs a wider canvas
+        (--synth_src_size), 2 adaptation steps."""
+        env = dict(os.environ, SCDA_PLATFORM="cpu", PYTHONPATH=REPO)
+        r = subprocess.run(
+            [sys.executable, "-m", "scda_tpu.cli.trainval",
+             "--cfg_file", "cfgs/scda_kitti_car.yml",
+             "--dataset", "synthetic", "--net", "tiny",
+             "--synth_size", "64", "96", "--synth_src_size", "48", "96",
+             "--synth_images", "4", "--synth_classes", "car",
+             "--synth_fog", "0.3", "--num_devices", "1",
+             "--bs", "1", "--steps", "2", "--disp_interval", "1",
+             "--save_dir", str(tmp_path),
+             "--set", "model.backbone", "tiny",
+             "model.rpn_channels", "64",
+             "model.class_agnostic", "True",
+             "train.proposal.pre_nms_top_n", "64",
+             "train.proposal.post_nms_top_n", "16",
+             "train.rpn_target.batch_size", "32",
+             "train.roi_target.batch_size", "16",
+             "adapt.mining_top_n", "16", "adapt.num_groups", "4",
+             "data.max_gt_boxes", "4", "anchors.scales", "1 2 4"],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "adapt=True" in r.stdout
+        assert '"d_loss"' in r.stdout or "d_loss" in r.stdout
+
 
 class TestCocoLoader:
     def test_loads_coco_json(self, tmp_path, rng):
