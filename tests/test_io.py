@@ -296,6 +296,45 @@ class TestCliSmoke:
 
         assert map_of(r3.stdout) == map_of(r2.stdout)
 
+    @pytest.mark.slow
+    @pytest.mark.parametrize("script", ["fidelity_foggy.sh",
+                                        "fidelity_sim10k.sh"])
+    def test_fidelity_runbook_smoke(self, tmp_path, script):
+        """The one-command fidelity runbooks (r2 VERDICT next #2) run
+        end-to-end at fixture scale with the real flag paths: caffe-pth
+        conversion -> source pretrain -> SCDA adapt -> foggy eval."""
+        import torch
+
+        from scda_tpu.models.backbones.vgg import VGG16_LAYOUT
+
+        # Conv-only caffe-layout VGG16 .pth (head weights optional in
+        # the converter; keeps the fixture at ~56 MB, not 530).
+        sd = {}
+        in_ch = 3
+        torch.manual_seed(0)
+        for item in VGG16_LAYOUT:
+            if item == "M":
+                continue
+            idx, ch = item
+            sd[f"features.{idx}.weight"] = torch.randn(
+                ch, in_ch, 3, 3) * (2.0 / (9 * in_ch)) ** 0.5
+            sd[f"features.{idx}.bias"] = torch.zeros(ch)
+            in_ch = ch
+        pth = os.path.join(tmp_path, "vgg16_fake.pth")
+        torch.save(sd, pth)
+
+        env = dict(os.environ, SCDA_PLATFORM="cpu", PYTHONPATH=REPO,
+                   SCDA_FIDELITY_SMOKE="1")
+        r = subprocess.run(
+            ["bash", os.path.join("scripts", script), pth,
+             os.path.join(tmp_path, "out")],
+            capture_output=True, text=True, env=env, cwd=REPO,
+            timeout=1500,
+        )
+        assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+        assert "loaded pretrained backbone" in r.stdout
+        assert "mAP@0.5" in r.stdout
+
     def test_kitti_protocol_cfg_smoke(self, tmp_path):
         """Paper Table 3 config shape end-to-end at tiny scale:
         cfgs/scda_kitti_car.yml (car-only, class-agnostic, alternating
