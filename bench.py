@@ -46,6 +46,9 @@ import numpy as np
 HEADLINE = "inference_bs1"
 HEADLINE_METRIC = "vgg16_fasterrcnn_inference_images_per_sec_per_chip"
 
+# bf16 peak of the bench chip for the MFU denominator (v5e: 197 TFLOP/s).
+PEAK_TFLOPS = float(os.environ.get("SCDA_PEAK_TFLOPS", "197"))
+
 BASELINES_IMG_PER_SEC = {
     "inference_bs1": 5.0,
     "inference_bs8": 5.0,
@@ -261,6 +264,30 @@ CONFIG_RUNNERS = {
         1, preset="res101", multiscale_roi=True),
 }
 
+def _flops_per_image(name: str) -> float:
+    """Analytic FLOPs/image for each config (scda_tpu.utils.flops)."""
+    from scda_tpu.config import get_config, replace_path
+    from scda_tpu.utils import flops as F
+
+    canvas = (512, 1024)
+    if name.startswith("inference"):
+        return F.inference_flops_per_image(get_config("vgg16"), canvas)
+    if name.startswith("train"):
+        return F.train_flops_per_image(get_config("vgg16"), canvas)
+    if name == "scda_bs1":
+        return F.scda_step_flops_per_src_image(get_config("vgg16"), canvas)
+    if name == "scda_car":
+        cfg = get_config("vgg16")
+        cfg = replace_path(cfg, "model.num_classes", 2)
+        cfg = replace_path(cfg, "model.class_agnostic", True)
+        return F.scda_step_flops_per_src_image(cfg, canvas)
+    if name == "res101_ms":
+        cfg = get_config("res101")
+        cfg = replace_path(cfg, "model.multiscale_roi", True)
+        return F.inference_flops_per_image(cfg, canvas)
+    raise KeyError(name)
+
+
 METRIC_NAMES = {
     "inference_bs1": HEADLINE_METRIC,
     "inference_bs8": "vgg16_fasterrcnn_inference_bs8_images_per_sec_per_chip",
@@ -283,6 +310,7 @@ def main() -> None:
     for name in names:
         t0 = time.perf_counter()
         med, spread, wdtype = CONFIG_RUNNERS[name]()
+        gflops = _flops_per_image(name) / 1e9
         entry = {
             "metric": METRIC_NAMES[name],
             "value": round(med, 2),
@@ -290,6 +318,8 @@ def main() -> None:
             "vs_baseline": round(med / BASELINES_IMG_PER_SEC[name], 2),
             "spread": spread,
             "weights_dtype": wdtype,
+            "gflops_per_img": round(gflops, 1),
+            "mfu": round(med * gflops / (PEAK_TFLOPS * 1e3), 4),
             "wall_s": round(time.perf_counter() - t0, 1),
         }
         table[name] = entry

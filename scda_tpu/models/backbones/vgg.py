@@ -77,6 +77,47 @@ def _max_pool_2x2_bwd(res, g):
 max_pool_2x2.defvjp(_max_pool_2x2_fwd, _max_pool_2x2_bwd)
 
 
+class StemConv3x3(nn.Module):
+    """First conv (C_in=3) as a stacked-27 matmul instead of lax.conv.
+
+    XLA's TPU conv lowering is pathological for a 3-channel full-res
+    input: measured 2.36 ms standalone for conv1_1 at 512x1024 —
+    1.8 GFLOP at <1% MFU, ~38% of the whole VGG16 backbone (r3
+    block-level attribution).  Concatenating the 9 shifted taps on the
+    channel axis and contracting (H*W, 27) x (27, 64) in ONE einsum is
+    3x faster standalone (0.81 ms) because the MXU sees a single dense
+    matmul instead of a degenerate-C_in convolution.
+
+    Parameters are named/shaped exactly like ``nn.Conv`` (kernel
+    (3, 3, 3, F), bias (F,)) so the torch converter and every
+    checkpoint remain layout-identical.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        h, w = x.shape[1], x.shape[2]
+        xb = x.astype(self.dtype)
+        xpad = jnp.pad(xb, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        cols = jnp.concatenate(
+            [xpad[:, dy:dy + h, dx:dx + w, :]
+             for dy in range(3) for dx in range(3)], axis=-1,
+        )
+        kb = kernel.reshape(9 * x.shape[-1], self.features).astype(
+            self.dtype)
+        out = jnp.einsum("bhwc,cf->bhwf", cols, kb,
+                         preferred_element_type=jnp.float32)
+        return (out + bias).astype(self.dtype)
+
+
 class VGG16Backbone(nn.Module):
     """conv1_1..conv5_3, stride 16, 512-channel output.
 
@@ -100,10 +141,16 @@ class VGG16Backbone(nn.Module):
                 pools += 1
             else:
                 idx, ch = item
-                x = nn.Conv(
-                    ch, (3, 3), padding=1, dtype=self.dtype,
-                    param_dtype=jnp.float32, name=f"conv{idx}",
-                )(x)
+                if idx == 0:
+                    # C_in=3 stem: stacked-matmul formulation (see
+                    # StemConv3x3 — 3x the lax.conv lowering).
+                    x = StemConv3x3(ch, dtype=self.dtype,
+                                    name=f"conv{idx}")(x)
+                else:
+                    x = nn.Conv(
+                        ch, (3, 3), padding=1, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"conv{idx}",
+                    )(x)
                 x = nn.relu(x)
         if return_pyramid:
             return f8, x
