@@ -29,6 +29,10 @@ def parse_args(argv=None):
     p.add_argument("--use_07_metric", action="store_true")
     p.add_argument("--iou_sweep", action="store_true",
                    help="also report COCO-style mAP@[.5:.95]")
+    p.add_argument("--coco_protocol", action="store_true",
+                   help="also report the full 12-number COCO summary "
+                        "(area ranges, maxDets 1/10/100 — the "
+                        "reference's pycocotools eval hooks)")
     p.add_argument("--dets_out", default=None,
                    help="write detections JSON here")
     p.add_argument("--vis", default=None, metavar="DIR",
@@ -248,6 +252,19 @@ def main(argv=None) -> int:
                                         for k, v in sweep.items()}}))
         print(f"mAP@[.5:.95] = {sweep['mAP@[.5:.95]']:.4f}  "
               f"(mAP@0.75 = {sweep['mAP@0.75']:.4f})")
+
+    if args.coco_protocol:
+        from scda_tpu.evals.coco_protocol import evaluate_coco_protocol
+
+        coco = evaluate_coco_protocol(dataset, all_dets)
+        print(json.dumps({"coco": {k: round(float(v), 4)
+                                   for k, v in coco.items()}}))
+        print(f"COCO AP={coco['AP']:.4f} AP50={coco['AP50']:.4f} "
+              f"AP75={coco['AP75']:.4f} "
+              f"APs/m/l={coco['AP_small']:.3f}/"
+              f"{coco['AP_medium']:.3f}/{coco['AP_large']:.3f} "
+              f"AR@1/10/100={coco['AR@1']:.3f}/{coco['AR@10']:.3f}/"
+              f"{coco['AR@100']:.3f}")
 
     if args.vis:
         from scda_tpu.cli.demo import draw_detections
