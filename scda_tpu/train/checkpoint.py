@@ -65,19 +65,35 @@ def _worker_pool() -> ThreadPoolExecutor:
     return _save_pool
 
 
+def _copy_leaves(leaves):
+    import jax.numpy as jnp
+
+    return [jnp.copy(x) for x in leaves]
+
+
+_copy_jit = None
+
+
 def _snapshot(tree: Any) -> Any:
     """Copy device arrays into fresh device buffers (host leaves pass
     through).  The copies are enqueued on the device stream before this
     returns, so the caller may immediately donate/overwrite its state —
-    PjRT sequences buffer donation after the pending copy reads."""
-    import jax.numpy as jnp
+    PjRT sequences buffer donation after the pending copy reads.
 
-    def snap(x):
-        if isinstance(x, jax.Array):
-            return jnp.copy(x)
-        return x
+    ONE jitted program copies the whole tree: per-leaf ``jnp.copy``
+    dispatches compile ~30 tiny programs (measured 19 s first-save
+    stall through the tunneled runtime); the fused copy compiles once
+    per state signature and is cached for every later save."""
+    global _copy_jit
+    if _copy_jit is None:
+        _copy_jit = jax.jit(_copy_leaves)
 
-    return jax.tree_util.tree_map(snap, tree)
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    is_dev = [isinstance(x, jax.Array) for x in leaves]
+    dev_leaves = [x for x, d in zip(leaves, is_dev) if d]
+    copies = iter(_copy_jit(dev_leaves) if dev_leaves else [])
+    out = [next(copies) if d else x for x, d in zip(leaves, is_dev)]
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def _do_save(path: str, directory: str, snap: Any, keep: int,
