@@ -32,7 +32,41 @@ static void prep_image_impl(const T* src, int sh, int sw,
                             float* canvas, int canvas_h, int canvas_w,
                             int out_h, int out_w,
                             const float* mean, int flip) {
-  std::memset(canvas, 0, sizeof(float) * canvas_h * canvas_w * 3);
+  // Zero only the PADDING (right margin + bottom rows), not the whole
+  // canvas — the content region is overwritten below anyway (~6 MB of
+  // redundant writes per Cityscapes frame otherwise).
+  if (out_w < canvas_w) {
+#pragma omp parallel for schedule(static)
+    for (int y = 0; y < out_h; ++y) {
+      std::memset(canvas + (static_cast<long>(y) * canvas_w + out_w) * 3,
+                  0, sizeof(float) * (canvas_w - out_w) * 3);
+    }
+  }
+  if (out_h < canvas_h) {
+    std::memset(canvas + static_cast<long>(out_h) * canvas_w * 3, 0,
+                sizeof(float) * (canvas_h - out_h) * canvas_w * 3);
+  }
+
+  // Identity resize (the disk canvas cache stores pre-resized images):
+  // the half-pixel map degenerates to src=dst exactly, so this fast
+  // path is bit-identical to the general one — just fused
+  // convert+mean-subtract (+flip) without the bilinear arithmetic.
+  if (out_h == sh && out_w == sw) {
+#pragma omp parallel for schedule(static)
+    for (int y = 0; y < out_h; ++y) {
+      float* dst_row = canvas + static_cast<long>(y) * canvas_w * 3;
+      const T* srow = src + static_cast<long>(y) * sw * 3;
+      for (int x = 0; x < out_w; ++x) {
+        const int xs = flip ? (sw - 1 - x) : x;
+        for (int c = 0; c < 3; ++c) {
+          dst_row[x * 3 + c] =
+              static_cast<float>(srow[xs * 3 + c]) - mean[c];
+        }
+      }
+    }
+    return;
+  }
+
   const float sy = static_cast<float>(sh) / out_h;
   const float sx = static_cast<float>(sw) / out_w;
 

@@ -14,10 +14,14 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
+import sys
 import tempfile
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -29,6 +33,9 @@ def main() -> None:
                    help="RAM cache budget — deliberately smaller than "
                         "the split so the RAM path thrashes")
     p.add_argument("--bs", type=int, default=8)
+    p.add_argument("--workers", type=int, default=1,
+                   help="decode threads; keep 1 on single-core hosts "
+                        "(more threads oversubscribe the core)")
     args = p.parse_args()
 
     from scda_tpu.config import DataConfig
@@ -47,7 +54,7 @@ def main() -> None:
         def run(tag, **cfg_kw):
             cfg = DataConfig(image_size=(512, 1024), scale=600,
                              max_size=1000, cache_mb=args.cache_mb,
-                             **cfg_kw)
+                             num_workers=args.workers, **cfg_kw)
             loader = DataLoader(ds, cfg, args.bs, shuffle=True,
                                 augment_flip=True, seed=0)
             rates = []
