@@ -25,6 +25,12 @@ def parse_args(argv=None):
                    help="dataset name used at train time (defaults to "
                         "--dataset)")
     p.add_argument("--checkpoint_step", type=int, default=None)
+    p.add_argument("--torch_checkpoint", default=None, metavar="PTH",
+                   help="evaluate a reference-trained torch .pth "
+                        "directly (full jwyang/SCDA-layout detector "
+                        "state dict; converted in-process). Pair with "
+                        "--set model.pooling_mode align_legacy for the "
+                        "reference RoIAlign semantics")
     p.add_argument("--bs", type=int, default=1)
     p.add_argument("--use_07_metric", action="store_true")
     p.add_argument("--iou_sweep", action="store_true",
@@ -133,9 +139,23 @@ def main(argv=None) -> int:
     model = build_model(cfg.model, num_anchors=cfg.anchors.num_anchors)
     params = init_params(model, jax.random.key(0), (1, 64, 96, 3))
 
-    ckpt_ds = args.checkpoint_dataset or dataset.name
-    save_dir = os.path.join(args.load_dir, args.net, ckpt_ds)
-    step = ckpt.latest_step(save_dir)
+    if args.torch_checkpoint:
+        from scda_tpu.train.torch_convert import load_reference_checkpoint
+
+        params = load_reference_checkpoint(
+            params, args.torch_checkpoint, cfg.model.backbone,
+            num_anchors=cfg.anchors.num_anchors)
+        print(f"loaded reference torch checkpoint "
+              f"{args.torch_checkpoint}")
+        if cfg.model.pooling_mode != "align_legacy":
+            print("note: reference checkpoints were trained with the "
+                  "legacy RoIAlign; consider --set model.pooling_mode "
+                  "align_legacy", file=sys.stderr)
+        step = None
+    else:
+        ckpt_ds = args.checkpoint_dataset or dataset.name
+        save_dir = os.path.join(args.load_dir, args.net, ckpt_ds)
+        step = ckpt.latest_step(save_dir)
     # --checkpoint_step 0 is a real step; only None means 'latest'.
     shown_step = step if args.checkpoint_step is None else args.checkpoint_step
     if step is not None:
@@ -208,7 +228,7 @@ def main(argv=None) -> int:
             params = restored.params
             print(f"loaded checkpoint step {shown_step} "
                   f"from {save_dir}")
-    else:
+    elif not args.torch_checkpoint:
         print(f"WARNING: no checkpoint under {save_dir}; evaluating "
               f"random init", file=sys.stderr)
 

@@ -163,3 +163,141 @@ def jax_tree_to_mutable(tree):
     if isinstance(tree, Mapping):
         return {k: jax_tree_to_mutable(v) for k, v in tree.items()}
     return tree
+
+
+# ---------------------------------------------------------------------------
+# FULL reference-layout detector checkpoints
+# ---------------------------------------------------------------------------
+#
+# The reference trains/saves the whole detector under the
+# jwyang-lineage module names (ref lib/model/faster_rcnn/faster_rcnn.py
+# + vgg16.py/resnet.py):
+#   RCNN_base.{i}.*            backbone (vgg features indices / resnet
+#                              Sequential: 0=conv1 1=bn1 4..6=layer1..3)
+#   RCNN_rpn.RPN_Conv.*        rpn 3x3 conv
+#   RCNN_rpn.RPN_cls_score.*   rpn cls 1x1 — channels packed
+#                              [bg x A, fg x A] (class-major; see
+#                              proposal_layer.py:~70 `scores[:, A:]`)
+#   RCNN_rpn.RPN_bbox_pred.*   rpn bbox 1x1 — channels a*4+d
+#                              (anchor-major, same as ours)
+#   RCNN_top.{i}.*             head (vgg classifier 0/3 = fc6/fc7;
+#                              resnet: 0.{b} = layer4 blocks)
+#   RCNN_cls_score.* / RCNN_bbox_pred.*   final linear heads
+#
+# Converting these lets a reference user evaluate a TRAINED reference
+# .pth directly (`test_net --torch_checkpoint`); pair with
+# model.pooling_mode=align_legacy for the reference kernel semantics.
+# Our RPN lays channels out anchor-major (rpn.py: reshape (A, 2) /
+# (A, 4)), so the cls conv's output channels permute c*A+a -> a*2+c;
+# bbox channels and the per-class box head (cls*4+d) already agree.
+
+
+def _permute_rpn_cls(kernel_oihw: np.ndarray, bias: np.ndarray,
+                     num_anchors: int):
+    """Reference [bg x A, fg x A] output channels -> our (A, 2) packing."""
+    o = kernel_oihw.shape[0]
+    assert o == 2 * num_anchors, (o, num_anchors)
+    perm = np.asarray([c * num_anchors + a
+                       for a in range(num_anchors) for c in range(2)])
+    return kernel_oihw[perm], np.asarray(bias)[perm]
+
+
+def convert_reference_detector(
+    state_dict: Mapping[str, Any],
+    backbone: str,
+    num_anchors: int = 9,
+) -> Dict[str, Any]:
+    """jwyang/SCDA-lineage full-detector state dict -> our params tree
+    ({'backbone','head','rpn','cls_score','bbox_pred'} subtrees)."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in state_dict.items()}
+
+    out: Dict[str, Any] = {}
+    if backbone == "vgg16":
+        backbone_p: Dict[str, Any] = {}
+        for item in VGG16_LAYOUT:
+            if item == "M":
+                continue
+            idx, _ = item
+            backbone_p[f"conv{idx}"] = {
+                "kernel": _conv_kernel(sd[f"RCNN_base.{idx}.weight"]),
+                "bias": _f32(sd[f"RCNN_base.{idx}.bias"]),
+            }
+        out["backbone"] = backbone_p
+        out["head"] = {
+            "fc6": {"kernel": _linear_kernel(sd["RCNN_top.0.weight"]),
+                    "bias": _f32(sd["RCNN_top.0.bias"])},
+            "fc7": {"kernel": _linear_kernel(sd["RCNN_top.3.weight"]),
+                    "bias": _f32(sd["RCNN_top.3.bias"])},
+        }
+    elif backbone.startswith("resnet"):
+        from scda_tpu.models.backbones.resnet import RESNET_DEPTHS
+
+        depth = int(backbone.replace("resnet", ""))
+        blocks = RESNET_DEPTHS[depth]
+        backbone_p = {
+            "conv1": {"kernel": _conv_kernel(sd["RCNN_base.0.weight"])},
+            "bn1": _convert_bn(sd, "RCNN_base.1"),
+        }
+        for li, n in enumerate(blocks[:3], start=1):
+            seq = li + 3  # Sequential index: layer1 at 4, layer2 at 5...
+            stage: Dict[str, Any] = {}
+            for bi in range(n):
+                stage[f"block{bi}"] = _convert_bottleneck(
+                    sd, f"RCNN_base.{seq}.{bi}")
+            backbone_p[f"layer{li}"] = stage
+        out["backbone"] = backbone_p
+        head_stage: Dict[str, Any] = {}
+        for bi in range(blocks[3]):
+            head_stage[f"block{bi}"] = _convert_bottleneck(
+                sd, f"RCNN_top.0.{bi}")
+        out["head"] = {"layer4": head_stage}
+    else:
+        raise ValueError(f"no reference converter for {backbone!r}")
+
+    cls_k, cls_b = _permute_rpn_cls(
+        np.asarray(sd["RCNN_rpn.RPN_cls_score.weight"], np.float32),
+        np.asarray(sd["RCNN_rpn.RPN_cls_score.bias"], np.float32),
+        num_anchors,
+    )
+    out["rpn"] = {
+        "conv": {"kernel": _conv_kernel(sd["RCNN_rpn.RPN_Conv.weight"]),
+                 "bias": _f32(sd["RCNN_rpn.RPN_Conv.bias"])},
+        "cls_score": {"kernel": _conv_kernel(cls_k), "bias": cls_b},
+        "bbox_pred": {
+            "kernel": _conv_kernel(sd["RCNN_rpn.RPN_bbox_pred.weight"]),
+            "bias": _f32(sd["RCNN_rpn.RPN_bbox_pred.bias"]),
+        },
+    }
+    out["cls_score"] = {
+        "kernel": _linear_kernel(sd["RCNN_cls_score.weight"]),
+        "bias": _f32(sd["RCNN_cls_score.bias"]),
+    }
+    out["bbox_pred"] = {
+        "kernel": _linear_kernel(sd["RCNN_bbox_pred.weight"]),
+        "bias": _f32(sd["RCNN_bbox_pred.bias"]),
+    }
+    return out
+
+
+def load_reference_checkpoint(
+    params: Dict[str, Any], checkpoint_path: str, backbone: str,
+    num_anchors: int = 9,
+) -> Dict[str, Any]:
+    """Load a full reference-trained ``.pth`` (the layout
+    ``save_checkpoint`` writes, ref net_utils.py: ``{'model': ...}``)
+    into initialised params — every detector weight is replaced."""
+    import torch
+
+    payload = torch.load(checkpoint_path, map_location="cpu",
+                         weights_only=False)
+    sd = payload.get("model", payload) if isinstance(payload, dict) \
+        else payload
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+
+    converted = convert_reference_detector(sd, backbone, num_anchors)
+    out = jax_tree_to_mutable(params)
+    _merge(out, converted)
+    return out

@@ -362,3 +362,116 @@ class TestFullNetworkParity:
             np.transpose(np.asarray(ours), (0, 3, 1, 2)),
             oracle.numpy(), rtol=1e-5, atol=1e-5,
         )
+
+
+class TestReferenceCheckpointParity:
+    """FULL reference-layout (jwyang/SCDA lineage) detector checkpoint
+    -> our params: a reference user's trained .pth must reproduce its
+    torch forward here, RPN included (the rpn cls conv's channels are
+    packed class-major [bg x A, fg x A] in the reference vs anchor-major
+    here — the converter's permutation is what this test pins)."""
+
+    def _make_reference_sd(self, rng):
+        sd = {}
+        in_ch = 3
+        for item in VGG16_LAYOUT:
+            if item == "M":
+                continue
+            idx, ch = item
+            sd[f"RCNN_base.{idx}.weight"] = _he_conv(rng, ch, in_ch, 3)
+            sd[f"RCNN_base.{idx}.bias"] = _small_bias(rng, ch)
+            in_ch = ch
+        sd["RCNN_top.0.weight"] = _he_linear(rng, 4096, 512 * 7 * 7)
+        sd["RCNN_top.0.bias"] = _small_bias(rng, 4096)
+        sd["RCNN_top.3.weight"] = _he_linear(rng, 4096, 4096)
+        sd["RCNN_top.3.bias"] = _small_bias(rng, 4096)
+        sd["RCNN_rpn.RPN_Conv.weight"] = _he_conv(rng, 512, 512, 3)
+        sd["RCNN_rpn.RPN_Conv.bias"] = _small_bias(rng, 512)
+        sd["RCNN_rpn.RPN_cls_score.weight"] = _he_conv(rng, 18, 512, 1)
+        sd["RCNN_rpn.RPN_cls_score.bias"] = _small_bias(rng, 18)
+        sd["RCNN_rpn.RPN_bbox_pred.weight"] = _he_conv(rng, 36, 512, 1)
+        sd["RCNN_rpn.RPN_bbox_pred.bias"] = _small_bias(rng, 36)
+        sd["RCNN_cls_score.weight"] = _he_linear(rng, 9, 4096)
+        sd["RCNN_cls_score.bias"] = _small_bias(rng, 9)
+        sd["RCNN_bbox_pred.weight"] = _he_linear(rng, 36, 4096)
+        sd["RCNN_bbox_pred.bias"] = _small_bias(rng, 36)
+        return sd
+
+    def test_full_reference_vgg16_checkpoint(self, rng, tmp_path):
+        import os
+
+        from scda_tpu.train.torch_convert import load_reference_checkpoint
+
+        sd = self._make_reference_sd(rng)
+        payload = {"model": sd, "session": 1, "pooling_mode": "align"}
+        pth = os.path.join(tmp_path, "faster_rcnn_ref.pth")
+        torch.save(payload, pth)
+
+        mc = _flax_cfg("vgg16")
+        model = build_model(mc)
+        params = init_params(model, jax.random.key(0),
+                             (1, IMG_H, IMG_W, 3))
+        params = load_reference_checkpoint(params, pth, "vgg16")
+
+        img = rng.randn(1, IMG_H, IMG_W, 3).astype(np.float32) * 10
+        x_t = torch.tensor(np.transpose(img, (0, 3, 1, 2)))
+
+        # --- torch reference forward (functional, NCHW) ---
+        with torch.no_grad():
+            feat_t = x_t
+            for item in VGG16_LAYOUT:
+                if item == "M":
+                    feat_t = F.max_pool2d(feat_t, 2, 2)
+                else:
+                    idx, _ = item
+                    feat_t = F.relu(F.conv2d(
+                        feat_t, sd[f"RCNN_base.{idx}.weight"],
+                        sd[f"RCNN_base.{idx}.bias"], padding=1))
+            rpn_h = F.relu(F.conv2d(feat_t, sd["RCNN_rpn.RPN_Conv.weight"],
+                                    sd["RCNN_rpn.RPN_Conv.bias"],
+                                    padding=1))
+            cls_map = F.conv2d(rpn_h, sd["RCNN_rpn.RPN_cls_score.weight"],
+                               sd["RCNN_rpn.RPN_cls_score.bias"])
+            box_map = F.conv2d(rpn_h, sd["RCNN_rpn.RPN_bbox_pred.weight"],
+                               sd["RCNN_rpn.RPN_bbox_pred.bias"])
+            pooled_t = torch_roi_align_legacy(feat_t, ROIS, 7, 1.0 / 16.0)
+            hid = pooled_t.reshape(len(ROIS), -1)
+            hid = F.relu(F.linear(hid, sd["RCNN_top.0.weight"],
+                                  sd["RCNN_top.0.bias"]))
+            hid = F.relu(F.linear(hid, sd["RCNN_top.3.weight"],
+                                  sd["RCNN_top.3.bias"]))
+            cls_t = F.linear(hid, sd["RCNN_cls_score.weight"],
+                             sd["RCNN_cls_score.bias"]).numpy()
+            box_t = F.linear(hid, sd["RCNN_bbox_pred.weight"],
+                             sd["RCNN_bbox_pred.bias"]).numpy()
+
+        # --- flax forward with the converted checkpoint ---
+        feat_j = model.apply({"params": params}, jnp.asarray(img),
+                             method=FasterRCNN.features)
+        cls_j, box_j = model.apply({"params": params}, feat_j,
+                                   method=FasterRCNN.rpn_out)
+        # cls (B,H,W,A,2): ours[b,y,x,a,c] == torch[b, c*9+a, y, x]
+        cls_ref = cls_map.numpy()[0]          # (18, h, w)
+        a_idx = np.arange(9)
+        ours_cls = np.asarray(cls_j)[0]       # (h, w, 9, 2)
+        for c in (0, 1):
+            np.testing.assert_allclose(
+                ours_cls[..., c],
+                np.transpose(cls_ref[c * 9 + a_idx], (1, 2, 0)),
+                rtol=1e-4, atol=2e-3)
+        # bbox (B,H,W,A,4): ours[...,a,d] == torch[b, a*4+d, y, x]
+        box_ref = box_map.numpy()[0]
+        ours_box = np.asarray(box_j)[0]
+        np.testing.assert_allclose(
+            ours_box,
+            np.transpose(box_ref.reshape(9, 4, *box_ref.shape[1:]),
+                         (2, 3, 0, 1)),
+            rtol=1e-4, atol=2e-3)
+        # roi head to final logits
+        pooled_j = pool_rois(feat_j, jnp.asarray(ROIS)[None], None, mc)
+        cls_out, box_out = model.apply({"params": params}, pooled_j,
+                                       False, method=FasterRCNN.roi_head)
+        np.testing.assert_allclose(np.asarray(cls_out), cls_t,
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(box_out), box_t,
+                                   rtol=1e-4, atol=1e-3)
