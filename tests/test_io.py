@@ -147,6 +147,7 @@ class TestTorchConvert:
         out_l = np.asarray(jnp.asarray(xl) @ jnp.asarray(_linear_kernel(wl)))
         np.testing.assert_allclose(out_l, ref_l, rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow  # full-size fc6 tensors + 500 MB .pth round-trip
     def test_vgg16_state_dict_merges_into_model(self, tmp_path, rng):
         import torch
 
@@ -239,6 +240,7 @@ class TestTorchConvert:
 
 
 class TestCliSmoke:
+    @pytest.mark.slow  # three subprocesses, each with its own compile
     def test_trainval_then_eval(self, tmp_path):
         env = dict(os.environ, SCDA_PLATFORM="cpu", PYTHONPATH=REPO)
         common = [

@@ -206,6 +206,7 @@ class TestScdaStep:
             np.asarray(state.det.params["rpn"]["conv"]["kernel"]) - p_before
         ).max() > 0
 
+    @pytest.mark.slow  # five grad evaluations of the full SCDA forward
     def test_alternating_gradient_insulation(self, setup, rng):
         """The two losses must not leak into each other's parameters:
         D grads are invariant to adv_weight (the G loss sees a frozen D),
