@@ -362,3 +362,49 @@ class TestMultiscaleRoi:
             np.asarray(state.params["c3_proj"]["kernel"])
             - np.asarray(params["c3_proj"]["kernel"])
         ).max() > 0
+
+
+class TestResumeDeterminism:
+    def test_checkpoint_resume_reproduces_trajectory(self, setup, rng,
+                                                     tmp_path):
+        """The fault-tolerance contract (SURVEY §5): a run interrupted
+        at step 2 and resumed from its checkpoint must land bit-equal
+        with the uninterrupted run — per-step RNG folds from
+        state.step, so no hidden Python-side RNG survives a restart."""
+        from scda_tpu.train import checkpoint as ckpt
+
+        cfg, model, params = setup
+        step_fn = make_train_step(model, cfg, donate=False)
+        base_rng = jax.random.key(42)
+        batches = [
+            [jnp.array(x) for x in synthetic_batch(rng, cfg)]
+            for _ in range(4)
+        ]
+
+        # Uninterrupted 4-step run, saving at step 2.
+        state = create_train_state(cfg, params, steps_per_epoch=10)
+        for i, b in enumerate(batches):
+            state, _ = step_fn(state, *b, base_rng)
+            if i == 1:
+                ckpt.save_checkpoint(str(tmp_path), state, 2)
+        ckpt.wait_for_saves()
+
+        # "Crashed" process: fresh template, restore, replay steps 3-4.
+        template = create_train_state(
+            cfg, init_params(model, jax.random.key(9),
+                             (1,) + tuple(cfg.data.image_size) + (3,)),
+            steps_per_epoch=10)
+        resumed = ckpt.restore_checkpoint(str(tmp_path), template)
+        assert int(resumed.step) == 2
+        for b in batches[2:]:
+            resumed, _ = step_fn(resumed, *b, base_rng)
+
+        jax.tree_util.tree_map(
+            np.testing.assert_array_equal,
+            jax.device_get(state.params), jax.device_get(resumed.params),
+        )
+        jax.tree_util.tree_map(
+            np.testing.assert_array_equal,
+            jax.device_get(state.opt_state),
+            jax.device_get(resumed.opt_state),
+        )
