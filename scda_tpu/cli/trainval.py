@@ -54,6 +54,11 @@ def parse_args(argv=None):
                         "source-pretrained detector)")
     p.add_argument("--pretrained", default=None,
                    help="torch .pth backbone weights to convert+load")
+    p.add_argument("--torch_detector", default=None, metavar="PTH",
+                   help="initialise the FULL detector from a "
+                        "reference-trained torch .pth (jwyang/SCDA "
+                        "layout) — e.g. adapt from a reference "
+                        "source-only checkpoint")
     p.add_argument("--num_devices", type=int, default=0,
                    help="mesh size (0 = all visible devices)")
     p.add_argument("--use_tfb", action="store_true",
@@ -240,6 +245,14 @@ def main(argv=None) -> int:
         params = load_pretrained_backbone(params, args.pretrained,
                                           cfg.model.backbone)
         print(f"loaded pretrained backbone from {args.pretrained}")
+    if args.torch_detector:
+        from scda_tpu.train.torch_convert import load_reference_checkpoint
+
+        params = load_reference_checkpoint(
+            params, args.torch_detector, cfg.model.backbone,
+            num_anchors=cfg.anchors.num_anchors)
+        print(f"initialised full detector from reference checkpoint "
+              f"{args.torch_detector}")
 
     loader = DataLoader(src_ds, cfg.data, args.bs, seed=cfg.train.seed)
     steps_per_epoch = len(loader)
