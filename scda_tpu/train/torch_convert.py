@@ -280,6 +280,95 @@ def convert_reference_detector(
     return out
 
 
+def _conv_kernel_inv(k_hwio: np.ndarray) -> np.ndarray:
+    return np.transpose(np.asarray(k_hwio, np.float32), (3, 2, 0, 1))
+
+
+def export_reference_detector(
+    params: Mapping[str, Any],
+    backbone: str,
+    num_anchors: int = 9,
+) -> Dict[str, np.ndarray]:
+    """Our params tree -> jwyang/SCDA-layout state dict (numpy values).
+
+    Inverse of :func:`convert_reference_detector` — lets the REFERENCE
+    codebase's own test_net.py evaluate a model trained here (the
+    strongest cross-framework fidelity check), or hands a checkpoint
+    back to a torch user.  ``scripts/export_torch.py`` wraps this as a
+    CLI writing the ``{'model': ...}`` payload the reference loads.
+    """
+    sd: Dict[str, np.ndarray] = {}
+    if backbone == "vgg16":
+        for item in VGG16_LAYOUT:
+            if item == "M":
+                continue
+            idx, _ = item
+            p = params["backbone"][f"conv{idx}"]
+            sd[f"RCNN_base.{idx}.weight"] = _conv_kernel_inv(p["kernel"])
+            sd[f"RCNN_base.{idx}.bias"] = _f32(p["bias"])
+        for torch_i, ours in ((0, "fc6"), (3, "fc7")):
+            p = params["head"][ours]
+            sd[f"RCNN_top.{torch_i}.weight"] = np.transpose(
+                _f32(p["kernel"]), (1, 0))
+            sd[f"RCNN_top.{torch_i}.bias"] = _f32(p["bias"])
+    elif backbone.startswith("resnet"):
+        from scda_tpu.models.backbones.resnet import RESNET_DEPTHS
+
+        depth = int(backbone.replace("resnet", ""))
+        blocks = RESNET_DEPTHS[depth]
+
+        def export_bn(dst_prefix, bn):
+            sd[f"{dst_prefix}.weight"] = _f32(bn["scale"])
+            sd[f"{dst_prefix}.bias"] = _f32(bn["bias"])
+            sd[f"{dst_prefix}.running_mean"] = _f32(bn["mean"])
+            sd[f"{dst_prefix}.running_var"] = _f32(bn["var"])
+
+        def export_block(dst_prefix, blk):
+            for i in (1, 2, 3):
+                sd[f"{dst_prefix}.conv{i}.weight"] = _conv_kernel_inv(
+                    blk[f"conv{i}"]["kernel"])
+                export_bn(f"{dst_prefix}.bn{i}", blk[f"bn{i}"])
+            if "downsample_conv" in blk:
+                sd[f"{dst_prefix}.downsample.0.weight"] = _conv_kernel_inv(
+                    blk["downsample_conv"]["kernel"])
+                export_bn(f"{dst_prefix}.downsample.1",
+                          blk["downsample_bn"])
+
+        sd["RCNN_base.0.weight"] = _conv_kernel_inv(
+            params["backbone"]["conv1"]["kernel"])
+        export_bn("RCNN_base.1", params["backbone"]["bn1"])
+        for li, n in enumerate(blocks[:3], start=1):
+            for bi in range(n):
+                export_block(f"RCNN_base.{li + 3}.{bi}",
+                             params["backbone"][f"layer{li}"][f"block{bi}"])
+        for bi in range(blocks[3]):
+            export_block(f"RCNN_top.0.{bi}",
+                         params["head"]["layer4"][f"block{bi}"])
+    else:
+        raise ValueError(f"no reference exporter for {backbone!r}")
+
+    rpn = params["rpn"]
+    sd["RCNN_rpn.RPN_Conv.weight"] = _conv_kernel_inv(rpn["conv"]["kernel"])
+    sd["RCNN_rpn.RPN_Conv.bias"] = _f32(rpn["conv"]["bias"])
+    # Inverse of the anchor-major -> class-major permutation.
+    cls_k = _conv_kernel_inv(rpn["cls_score"]["kernel"])
+    cls_b = _f32(rpn["cls_score"]["bias"])
+    inv = np.asarray([a * 2 + c
+                      for c in range(2) for a in range(num_anchors)])
+    sd["RCNN_rpn.RPN_cls_score.weight"] = cls_k[inv]
+    sd["RCNN_rpn.RPN_cls_score.bias"] = cls_b[inv]
+    sd["RCNN_rpn.RPN_bbox_pred.weight"] = _conv_kernel_inv(
+        rpn["bbox_pred"]["kernel"])
+    sd["RCNN_rpn.RPN_bbox_pred.bias"] = _f32(rpn["bbox_pred"]["bias"])
+    sd["RCNN_cls_score.weight"] = np.transpose(
+        _f32(params["cls_score"]["kernel"]), (1, 0))
+    sd["RCNN_cls_score.bias"] = _f32(params["cls_score"]["bias"])
+    sd["RCNN_bbox_pred.weight"] = np.transpose(
+        _f32(params["bbox_pred"]["kernel"]), (1, 0))
+    sd["RCNN_bbox_pred.bias"] = _f32(params["bbox_pred"]["bias"])
+    return sd
+
+
 def load_reference_checkpoint(
     params: Dict[str, Any], checkpoint_path: str, backbone: str,
     num_anchors: int = 9,

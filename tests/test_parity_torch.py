@@ -475,3 +475,33 @@ class TestReferenceCheckpointParity:
                                    rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(np.asarray(box_out), box_t,
                                    rtol=1e-4, atol=1e-3)
+
+
+class TestExportRoundTrip:
+    """export_reference_detector is the exact inverse of
+    convert_reference_detector — our checkpoints can go BACK to the
+    reference codebase for cross-framework evaluation."""
+
+    @pytest.mark.parametrize("backbone", ["vgg16", "resnet50"])
+    def test_roundtrip_identity(self, backbone):
+        from scda_tpu.train.torch_convert import (
+            convert_reference_detector, export_reference_detector,
+            jax_tree_to_mutable, _merge,
+        )
+
+        mc = _flax_cfg(backbone)
+        model = build_model(mc)
+        params = jax_tree_to_mutable(
+            init_params(model, jax.random.key(3), (1, IMG_H, IMG_W, 3)))
+        sd = export_reference_detector(params, backbone)
+        back = convert_reference_detector(sd, backbone)
+        reparams = jax_tree_to_mutable(params)
+        _merge(reparams, back)
+
+        flat_a = jax.tree_util.tree_leaves_with_path(params)
+        flat_b = dict(jax.tree_util.tree_leaves_with_path(reparams))
+        for path, leaf in flat_a:
+            np.testing.assert_array_equal(
+                np.asarray(leaf, np.float32),
+                np.asarray(flat_b[path], np.float32),
+                err_msg=str(path))
