@@ -327,9 +327,9 @@ def main() -> None:
             print(json.dumps(entry), flush=True)
 
     head = table.get(HEADLINE)
-    if head is None:        # subset run without the headline config
-        last = table[names[-1]]
-        print(json.dumps(last), flush=True)
+    if head is None:
+        # Subset run without the headline: every config already printed
+        # its one line; the last printed line is the record.
         return
     final = dict(head)
     final["configs"] = {k: {kk: vv for kk, vv in v.items()

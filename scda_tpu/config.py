@@ -225,10 +225,12 @@ class DataConfig:
     # (default) makes infer_canvas reproduce the benchmarked presets
     # (e.g. Cityscapes 500x1000 content -> 512x1024, not 512x1008).
     canvas_align: int = 32
-    # Optional on-disk preprocessed-canvas cache directory ("" = off):
-    # prepared float32 canvases are mmap-read after a one-time build, so
-    # real-dataset-scale splits feed the device at rate on a 1-core host
-    # (the in-RAM u8 cache cannot hold a full Cityscapes split).
+    # Optional on-disk preprocessed-image cache directory ("" = off):
+    # RESIZED uint8 images (~1.5 MB/record) are stored once and
+    # mmap-read thereafter (float conversion + mean-subtract happen at
+    # use time), so real-dataset-scale splits feed the device at rate
+    # on a 1-core host — the in-RAM u8 cache cannot hold a full
+    # Cityscapes split.  See data/pipeline.py:CanvasDiskCache.
     canvas_cache_dir: str = ""
 
 

@@ -74,6 +74,9 @@ def _match_image(
 
     Returns (det_matched (D,) bool, det_ignored (D,) bool) — ignored
     dets matched an ignored gt.  Gts are visited non-ignored first.
+    A matched gt is NEVER rematched (pycocotools exempts only crowd
+    gts, and the COCO adapter drops crowds at load) — so a duplicate
+    det on a difficult gt is an FP, not ignored (r3 review).
     """
     d, g = ious.shape
     order_g = np.argsort(gt_ignore, kind="stable")  # non-ignored first
@@ -84,7 +87,7 @@ def _match_image(
         best = -1
         best_iou = iou_thr - 1e-10
         for gi in order_g:
-            if gt_taken[gi] and not gt_ignore[gi]:
+            if gt_taken[gi]:
                 continue
             # Past this point only ignored gts remain; keep a
             # non-ignored match rather than switching to one.
@@ -102,69 +105,74 @@ def _match_image(
     return det_m, det_ig
 
 
-def _per_class_stats(
+def _per_class_area_stats(
     gt_by_image: Dict[str, Tuple[np.ndarray, np.ndarray]],
     dets: List[Tuple[str, np.ndarray, float]],
-    area_rng: Tuple[float, float],
-    max_det: int,
 ):
-    """Match one class over all images at every IoU threshold.
+    """Match one class over all images — ONCE per (area, thr) at the
+    global maxDets cap; smaller maxDets come from per-image truncation
+    in :func:`_accumulate` (exactly pycocotools' evaluate/accumulate
+    split: matching happens at max(maxDets), accumulate slices
+    ``dtm[:, :maxDet]`` per image).
 
-    Returns (scores (N,), tp (T, N) bool, ignored (T, N) bool, npos) —
-    N = kept detections over all images (score-sorted globally),
-    T = len(IOU_THRS).
+    Returns {area: (per_image list of (scores (D,), tp (T, D),
+    ig (T, D)), npos)}.  IoU matrices are computed once per image and
+    shared by every area range (r3 review: the 6x recompute).
     """
-    lo, hi = area_rng
-    all_scores: List[np.ndarray] = []
-    all_tp: List[np.ndarray] = []
-    all_ig: List[np.ndarray] = []
-    npos = 0
-
+    cap = MAX_DETS[-1]
     det_by_img: Dict[str, List[Tuple[np.ndarray, float]]] = {}
     for img, box, score in dets:
         det_by_img.setdefault(img, []).append((box, score))
+        # Detections for images outside gt_by_image (off the eval set)
+        # are skipped below, as pycocotools only evaluates imgIds.
+
+    per_image = {area: [] for area in AREA_RANGES}
+    npos = {area: 0 for area in AREA_RANGES}
 
     for img, (gboxes, gdiff) in gt_by_image.items():
-        areas = _box_area(gboxes)
-        g_ig = gdiff | (areas < lo) | (areas > hi)
-        npos += int((~g_ig).sum())
-
+        g_areas = _box_area(gboxes)
         dlist = det_by_img.get(img, [])
-        if not dlist:
-            continue
-        dboxes = np.asarray([d[0] for d in dlist], np.float64)
-        dscores = np.asarray([d[1] for d in dlist], np.float64)
-        order = np.argsort(-dscores, kind="stable")[:max_det]
-        dboxes, dscores = dboxes[order], dscores[order]
-        ious = _iou_matrix(dboxes, gboxes)
-        d_areas = _box_area(dboxes)
-        d_out = (d_areas < lo) | (d_areas > hi)
+        if dlist:
+            dboxes = np.asarray([d[0] for d in dlist], np.float64)
+            dscores = np.asarray([d[1] for d in dlist], np.float64)
+            order = np.argsort(-dscores, kind="stable")[:cap]
+            dboxes, dscores = dboxes[order], dscores[order]
+            ious = _iou_matrix(dboxes, gboxes)          # once per image
+            d_areas = _box_area(dboxes)
+        for area, (lo, hi) in AREA_RANGES.items():
+            g_ig = gdiff | (g_areas < lo) | (g_areas > hi)
+            npos[area] += int((~g_ig).sum())
+            if not dlist:
+                continue
+            d_out = (d_areas < lo) | (d_areas > hi)
+            tps, igs = [], []
+            for thr in IOU_THRS:
+                m, ig = _match_image(ious, g_ig, float(thr))
+                # Unmatched dets outside the range: ignored, not FP.
+                ig = ig | (~m & d_out)
+                tps.append(m & ~ig)
+                igs.append(ig)
+            per_image[area].append(
+                (dscores, np.stack(tps), np.stack(igs)))
+    return {area: (per_image[area], npos[area]) for area in AREA_RANGES}
 
-        tps, igs = [], []
-        for thr in IOU_THRS:
-            m, ig = _match_image(ious, g_ig, float(thr))
-            # Unmatched dets outside the range are ignored, not FP.
-            ig = ig | (~m & d_out)
-            tps.append(m & ~ig)
-            igs.append(ig)
-        all_scores.append(dscores)
-        all_tp.append(np.stack(tps))
-        all_ig.append(np.stack(igs))
 
-    # Detections in images with no gt entry for this class are FPs in
-    # pycocotools only if the image is in the eval set; gt_by_image
-    # covers every eval image (empty arrays when class absent), so any
-    # remaining det_by_img keys are off-set images — skip them.
-    if all_scores:
-        scores = np.concatenate(all_scores)
-        tp = np.concatenate(all_tp, axis=1)
-        ig = np.concatenate(all_ig, axis=1)
+def _accumulate(per_image, npos, max_det):
+    """Per-image truncation to ``max_det`` then global score sort.
+
+    Returns (tp (T, N), ig (T, N), npos)."""
+    if per_image:
+        scores = np.concatenate([s[:max_det] for s, _, _ in per_image])
+        tp = np.concatenate([t[:, :max_det] for _, t, _ in per_image],
+                            axis=1)
+        ig = np.concatenate([g[:, :max_det] for _, _, g in per_image],
+                            axis=1)
     else:
         scores = np.zeros((0,))
         tp = np.zeros((len(IOU_THRS), 0), bool)
         ig = np.zeros((len(IOU_THRS), 0), bool)
     order = np.argsort(-scores, kind="mergesort")
-    return scores[order], tp[:, order], ig[:, order], npos
+    return tp[:, order], ig[:, order], npos
 
 
 def _ap_ar_from_stats(tp, ig, npos):
@@ -217,13 +225,14 @@ def evaluate_coco_protocol(
                 np.asarray(rec.difficult[sel], bool),
             )
         dets = all_dets.get(cls, [])
+        stats = _per_class_area_stats(gt_by_image, dets)
         for area in AREA_RANGES:
+            per_image, npos = stats[area]
             for md in MAX_DETS:
                 if area != "all" and md != MAX_DETS[-1]:
                     continue  # COCO only varies maxDets at area=all
-                s, tp, ig, npos = _per_class_stats(
-                    gt_by_image, dets, AREA_RANGES[area], md)
-                aps, ars = _ap_ar_from_stats(tp, ig, npos)
+                tp, ig, n = _accumulate(per_image, npos, md)
+                aps, ars = _ap_ar_from_stats(tp, ig, n)
                 ap_cells[(cls, area, md)] = aps
                 ar_cells[(cls, area, md)] = ars
 

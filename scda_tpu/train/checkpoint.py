@@ -124,7 +124,11 @@ def save_checkpoint(directory: str, state: Any, step: int,
     snap = _snapshot(state)
     fut = _worker_pool().submit(_do_save, path, directory, snap, keep, step)
     with _lock:
-        _pending[:] = [f for f in _pending if not f.done()]
+        # Drop only futures that completed SUCCESSFULLY — a failed save
+        # must stay pending so wait_for_saves re-raises it (r3 review:
+        # filtering on done() alone silently dropped failures).
+        _pending[:] = [f for f in _pending
+                       if not f.done() or f.exception() is not None]
         _pending.append(fut)
     if wait:
         fut.result()
@@ -138,10 +142,17 @@ def wait_for_saves() -> None:
     with _lock:
         pending = list(_pending)
         _pending.clear()
+    first_err: Optional[BaseException] = None
     for f in pending:
-        f.result()
+        # Drain EVERY future before raising — an early raise would
+        # orphan the rest mid-write.
+        err = f.exception()
+        if err is not None and first_err is None:
+            first_err = err
     if _async_ckptr is not None:
         _async_ckptr.wait_until_finished()
+    if first_err is not None:
+        raise first_err
 
 
 def _steps(directory: str) -> List[int]:

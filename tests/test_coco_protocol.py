@@ -90,6 +90,23 @@ class TestCocoProtocol:
         assert r["AP"] == 1.0
         assert r["AR@100"] == 1.0  # npos counts only the non-difficult
 
+    def test_duplicate_det_on_difficult_gt_is_fp(self):
+        """pycocotools exempts only CROWD gts from the taken check; a
+        difficult (ignored, non-crowd) gt matches at most once, so a
+        second det on it is a genuine FP (r3 review: it used to be
+        ignored, inflating AP to 1.0 where pycocotools gives ~0.5)."""
+        ds = _ds([_rec("a", [[0, 0, 50, 50], [100, 100, 150, 150]],
+                       [1, 1], difficult=[False, True])])
+        dets = {"thing": [
+            ("a", np.array([100, 100, 150, 150.0]), 0.95),  # ignored
+            ("a", np.array([100, 100, 150, 150.0]), 0.93),  # FP!
+            ("a", np.array([0, 0, 50, 50.0]), 0.9),
+        ]}
+        r = evaluate_coco_protocol(ds, dets)
+        # Envelope precision at the single achieved recall point: the
+        # TP ranks below one FP -> precision 0.5 at recall 1.
+        assert abs(r["AP50"] - 0.5) < 1e-6
+
     def test_class_without_gt_excluded_from_mean(self):
         ds = _ds([_rec("a", [[0, 0, 50, 50]], [1])],
                  classes=("thing", "ghost"))
