@@ -42,31 +42,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _contract_kernel(wy_ref, wx_ref, feat_ref, out_ref, *, r_tile, p, c):
-    """One (image, roi-tile) step: both contractions, tmp in VMEM.
+def _contract_kernel(wy_ref, wx_ref, feat_ref, out_ref, *, r_tile, p, c,
+                     w_tile, num_w_tiles):
+    """One (image, roi-tile, w-tile) step: both contractions, tmp in
+    VMEM, accumulating over W chunks.
 
-    wy_ref:  (1, RT, P, H)   per-roi y-axis weights
-    wx_ref:  (1, RT, P, W)   per-roi x-axis weights
-    feat_ref:(1, H, W*C)     the image's feature map, lanes = W*C
-    out_ref: (1, RT, P, P, C)
+    wy_ref:  (1, RT, P, H)    per-roi y-axis weights
+    wx_ref:  (1, RT, P, WT)   per-roi x-axis weights, W-blocked
+    feat_ref:(1, H, WT*C)     a W-chunk of the feature map (the
+                              flattened (W*C) axis blocks into
+                              contiguous W-chunks)
+    out_ref: (1, RT, P, P, C) — revisited across w-tiles (index map
+                              constant in wi): zero-init at wi==0,
+                              accumulate after.
 
     Contraction 1 batches ALL the tile's rois into one MXU dot — the
-    feature map streams through the MXU once per tile (M = RT*P rows)
-    instead of once per roi (M = P), an RT-fold cut in MXU passes.
+    feature chunk streams through the MXU once per tile (M = RT*P
+    rows) instead of once per roi.  W-tiling (r3) bounds VMEM so big
+    maps fit (res101 stride-8: H=64, W=128, C=1024 — the untiled
+    kernel needed 33 MB of feature + 29 MB of tmp).
     """
-    feat2d = feat_ref[0]                                  # (H, W*C)
+    wi = pl.program_id(2)
+    feat2d = feat_ref[0]                                  # (H, WT*C)
     h = feat2d.shape[0]
-    w = feat2d.shape[1] // c
     # (RT, P, H) -> (RT*P, H): leading-dim merge, layout-free.
     wy_all = wy_ref[0].reshape(r_tile * p, h)
-    # Contraction 1: (RT*P, H) x (H, W*C) -> (RT*P, W*C), lives in VMEM.
+    # Contraction 1: (RT*P, H) x (H, WT*C) -> (RT*P, WT*C) in VMEM.
     tmp = jnp.dot(wy_all, feat2d, preferred_element_type=jnp.float32)
-    tmp = tmp.reshape(r_tile * p, w, c)                   # lane split W*C
+    tmp = tmp.reshape(r_tile * p, w_tile, c)              # lane split
+
+    @pl.when(wi == 0)
+    def _():
+        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
     for r in range(r_tile):                               # static unroll
-        wx = wx_ref[0, r]                                 # (Q, W)
+        wx = wx_ref[0, r]                                 # (Q, WT)
         for pp in range(p):                               # P is tiny (7)
-            # Contraction 2: (Q, W) x (W, C) -> (Q, C).
-            out_ref[0, r, pp] = jnp.dot(
+            # Contraction 2: (Q, WT) x (WT, C) -> (Q, C), accumulated.
+            out_ref[0, r, pp] += jnp.dot(
                 wx, tmp[r * p + pp], preferred_element_type=jnp.float32
             )
 
@@ -78,6 +91,7 @@ def roi_align_contract(
     *,
     r_tile: int = 8,
     interpret: bool = False,
+    w_tile: int | None = None,
 ) -> jnp.ndarray:
     """Fused double contraction: returns (B, R, P, P, C) float32.
 
@@ -89,20 +103,22 @@ def roi_align_contract(
     scatter-free accumulation).  ``wy``/``wx`` derive from stop-gradient
     boxes everywhere in the model and get zero cotangents.
     """
-    return _contract_vjp(r_tile, interpret, wy, wx, features)
+    return _contract_vjp(r_tile, interpret, w_tile, wy, wx, features)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _contract_vjp(r_tile, interpret, wy, wx, features):
-    return _contract_impl(r_tile, interpret, wy, wx, features)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _contract_vjp(r_tile, interpret, w_tile, wy, wx, features):
+    return _contract_impl(r_tile, interpret, wy, wx, features,
+                          w_tile_override=w_tile)
 
 
-def _contract_fwd(r_tile, interpret, wy, wx, features):
-    return (_contract_impl(r_tile, interpret, wy, wx, features),
+def _contract_fwd(r_tile, interpret, w_tile, wy, wx, features):
+    return (_contract_impl(r_tile, interpret, wy, wx, features,
+                           w_tile_override=w_tile),
             (wy, wx, jnp.zeros((), features.dtype)))
 
 
-def _contract_bwd(r_tile, interpret, res, g):
+def _contract_bwd(r_tile, interpret, w_tile, res, g):
     wy, wx, feat_proto = res
     # dfeat[b,h,w,c] = sum_{r,p,q} wy[b,r,p,h] wx[b,r,q,w] g[b,r,p,q,c]
     tmp = jnp.einsum("brqw,brpqc->brpwc", wx, g,
@@ -123,7 +139,8 @@ def supported(c: int) -> bool:
     return c % 128 == 0
 
 
-def _contract_impl(r_tile, interpret, wy, wx, features):
+def _contract_impl(r_tile, interpret, wy, wx, features,
+                   w_tile_override=None):
     b, r, p, h = wy.shape
     _, height, width, c = features.shape
     assert wx.shape == (b, r, p, width), (wx.shape, (b, r, p, width))
@@ -143,25 +160,45 @@ def _contract_impl(r_tile, interpret, wy, wx, features):
     wy = wy.astype(jnp.float32)
     wx = wx.astype(jnp.float32)
 
-    grid = (b, rp // r_tile)
+    # W-tiling keeps the per-step VMEM bounded: feature chunk
+    # (H, WT*C) + tmp (RT*P, WT*C) f32 within ~8 MB.  Small maps run
+    # single-chunk (the r2 behaviour).
+    if w_tile_override:
+        w_tile = int(w_tile_override)
+        assert width % w_tile == 0, (width, w_tile)
+    else:
+        budget = 8 * 1024 * 1024 // 4              # f32 elements
+        per_w = (height + r_tile * p) * c          # elements per W col
+        w_tile = max(min(width, budget // per_w), 1)
+        while width % w_tile:
+            w_tile -= 1
+    num_w_tiles = width // w_tile
+
+    grid = (b, rp // r_tile, num_w_tiles)
     out = pl.pallas_call(
-        functools.partial(_contract_kernel, r_tile=r_tile, p=p, c=c),
+        functools.partial(_contract_kernel, r_tile=r_tile, p=p, c=c,
+                          w_tile=w_tile, num_w_tiles=num_w_tiles),
         out_shape=jax.ShapeDtypeStruct((b, rp, p, p, c), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, r_tile, p, height),
-                         lambda bi, ri: (bi, ri, 0, 0),
+                         lambda bi, ri, wi: (bi, ri, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_tile, p, width),
-                         lambda bi, ri: (bi, ri, 0, 0),
+            pl.BlockSpec((1, r_tile, p, w_tile),
+                         lambda bi, ri, wi: (bi, ri, 0, wi),
                          memory_space=pltpu.VMEM),
-            # Constant in ri: stays resident across roi tiles of image bi.
-            pl.BlockSpec((1, height, width * c),
-                         lambda bi, ri: (bi, 0, 0),
+            # Blocks the flattened (W*C) axis into contiguous W-chunks;
+            # constant in ri, so a chunk stays resident across roi
+            # tiles when the grid iterates ri fastest... the innermost
+            # grid dim is wi, so chunks stream per roi-tile instead —
+            # feat rereads are (W/WT)x, still far below the einsum
+            # path's HBM intermediate.
+            pl.BlockSpec((1, height, w_tile * c),
+                         lambda bi, ri, wi: (bi, 0, wi),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, r_tile, p, p, c),
-                               lambda bi, ri: (bi, ri, 0, 0, 0),
+                               lambda bi, ri, wi: (bi, ri, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

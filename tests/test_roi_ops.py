@@ -527,3 +527,52 @@ class TestRoiCrop:
         out = pool_rois(feat, rois, None, cfg)
         assert out.shape == (6, 5, 5, 4)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestMultiscalePallasDispatch:
+    def test_multiscale_pallas_matches_einsum(self, rng):
+        """pool_rois_multiscale's roi_pallas branch (added r3: the
+        stride-8 einsum intermediate is ~1.1 GB HBM at res101 scale)
+        must agree with the einsum path."""
+        import dataclasses
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        from scda_tpu.config import ModelConfig
+        from scda_tpu.models.faster_rcnn import pool_rois_multiscale
+
+        b, r = 1, 6
+        f8 = jnp.asarray(rng.randn(b, 16, 24, 128).astype(np.float32))
+        f16 = jnp.asarray(rng.randn(b, 8, 12, 128).astype(np.float32))
+        rois = jnp.asarray(
+            np.stack([random_rois(rng, r, 8 * 16, 12 * 16)]))
+        mc = ModelConfig(ms_fine_threshold=60.0, compute_dtype="float32")
+
+        a = pool_rois_multiscale(f8, f16, rois, mc)
+        mc_p = dataclasses.replace(mc, roi_pallas=True)
+        with pltpu.force_tpu_interpret_mode():
+            bql = pool_rois_multiscale(f8, f16, rois, mc_p)
+        np.testing.assert_allclose(np.asarray(bql), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestPallasWTiling:
+    def test_w_tiled_accumulation_matches_single_chunk(self, rng):
+        """Multi-chunk W-tiling (r3: bounds VMEM for big maps like the
+        res101 stride-8 level) must accumulate to the single-chunk
+        result exactly."""
+        from scda_tpu.ops.pallas.roi_align_kernel import roi_align_contract
+        from scda_tpu.ops.roi_ops import roi_align_axis_weights
+
+        b, h, w, c, r, p = 1, 8, 16, 8, 5, 7
+        feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        rois = jnp.asarray(
+            np.stack([random_rois(rng, r, h * 16, w * 16)]))
+        wy, wx = roi_align_axis_weights(rois, h, w, output_size=p)
+        full = roi_align_contract(wy, wx, feat, r_tile=4, interpret=True)
+        for wt in (8, 4, 2):
+            tiled = roi_align_contract(wy, wx, feat, r_tile=4,
+                                       interpret=True, w_tile=wt)
+            np.testing.assert_allclose(np.asarray(tiled),
+                                       np.asarray(full),
+                                       rtol=1e-6, atol=1e-6)
