@@ -246,10 +246,14 @@ def pool_rois_multiscale(
 
     kw = dict(output_size=p, sampling_ratio=cfg.sampling_ratio)
     if cfg.roi_pallas and _pallas_ok(f8) and _pallas_ok(f16):
-        # The stride-8 einsum materializes a (R, P, W/8, C) HBM
-        # intermediate (~1.1 GB at R=300, C=1024 on the Cityscapes
-        # canvas — measured 2.98 ms of the 6.39 ms res101-ms serving
-        # step); the fused kernel keeps it in VMEM.
+        # Opt-in, honestly A/B'd (r3): at res101-ms scale the W-tiled
+        # kernel is bit-exact but SLOWER than the reordered einsum
+        # (93.5 vs 156.4 img/s) — feature chunks re-stream per roi
+        # tile once the map exceeds VMEM.  The einsum default instead
+        # contracts the larger axis first with a bf16 intermediate
+        # (roi_ops._contract_axis_weights), the measured win
+        # (155.8 -> 192.7 img/s).  The kernel remains the right tool
+        # when the whole map fits VMEM.
         from scda_tpu.ops.pallas.roi_align_kernel import (
             roi_align_grouped_pallas,
         )

@@ -21,9 +21,11 @@ adaptive modes, `roi_ops._legacy_axis_weights` for the reference-lineage
 mode), so ONE kernel serves all pooling semantics and stays trivially
 oracle-testable against the einsum form.
 
-Grid is (B, roi_tiles); the feature block's index map is constant in the
-roi-tile coordinate, so Mosaic keeps it resident in VMEM across tiles of
-the same image instead of re-fetching.
+Grid is (B, roi_tiles, w_tiles): W-chunks of the feature map stream
+through VMEM and the output block accumulates across them (zero-init at
+the first chunk), so maps far larger than VMEM — the res101 stride-8
+level is 33 MB — run with a bounded ~8 MB working set.  Small maps
+derive a single chunk and behave exactly like the r2 kernel.
 
 Backward: RoI Align is linear in ``features``, and the wrapper exposes
 the op through a custom_vjp whose backward reuses the same kernel with
@@ -48,7 +50,11 @@ def _contract_kernel(wy_ref, wx_ref, feat_ref, out_ref, *, r_tile, p, c,
     VMEM, accumulating over W chunks.
 
     wy_ref:  (1, RT, P, H)    per-roi y-axis weights
-    wx_ref:  (1, RT, P, WT)   per-roi x-axis weights, W-blocked
+    wx_ref:  (1, RT, WT, P)   per-roi x-axis weights, W-blocked;
+                              TRANSPOSED so the blocked W axis sits in
+                              the sublane dim (Mosaic requires the
+                              last block dim be /128 or full — P=7 is
+                              full, WT only needs /8)
     feat_ref:(1, H, WT*C)     a W-chunk of the feature map (the
                               flattened (W*C) axis blocks into
                               contiguous W-chunks)
@@ -76,11 +82,14 @@ def _contract_kernel(wy_ref, wx_ref, feat_ref, out_ref, *, r_tile, p, c,
         out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     for r in range(r_tile):                               # static unroll
-        wx = wx_ref[0, r]                                 # (Q, WT)
+        wx_t = wx_ref[0, r]                               # (WT, Q)
         for pp in range(p):                               # P is tiny (7)
-            # Contraction 2: (Q, WT) x (WT, C) -> (Q, C), accumulated.
-            out_ref[0, r, pp] += jnp.dot(
-                wx, tmp[r * p + pp], preferred_element_type=jnp.float32
+            # Contraction 2: (WT, Q)^T x (WT, C) -> (Q, C), accumulated
+            # (dot_general contracts dim 0 of both — no transpose op).
+            out_ref[0, r, pp] += jax.lax.dot_general(
+                wx_t, tmp[r * p + pp],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
 
 
@@ -158,7 +167,8 @@ def _contract_impl(r_tile, interpret, wy, wx, features,
 
     feat2d = features.astype(jnp.float32).reshape(b, height, width * c)
     wy = wy.astype(jnp.float32)
-    wx = wx.astype(jnp.float32)
+    # (B, R, P, W) -> (B, R, W, P): W into the sublane dim (see kernel).
+    wx_t = jnp.transpose(wx.astype(jnp.float32), (0, 1, 3, 2))
 
     # W-tiling keeps the per-step VMEM bounded: feature chunk
     # (H, WT*C) + tmp (RT*P, WT*C) f32 within ~8 MB.  Small maps run
@@ -169,9 +179,14 @@ def _contract_impl(r_tile, interpret, wy, wx, features,
     else:
         budget = 8 * 1024 * 1024 // 4              # f32 elements
         per_w = (height + r_tile * p) * c          # elements per W col
-        w_tile = max(min(width, budget // per_w), 1)
-        while width % w_tile:
-            w_tile -= 1
+        cap = max(min(width, budget // per_w), 1)
+        # Mosaic sublane rule for the transposed-wx block: the W chunk
+        # must be a multiple of 8 (or the whole axis).
+        w_tile = width
+        for cand in range(cap, 7, -1):
+            if width % cand == 0 and cand % 8 == 0:
+                w_tile = cand
+                break
     num_w_tiles = width // w_tile
 
     grid = (b, rp // r_tile, num_w_tiles)
@@ -184,8 +199,8 @@ def _contract_impl(r_tile, interpret, wy, wx, features,
             pl.BlockSpec((1, r_tile, p, height),
                          lambda bi, ri, wi: (bi, ri, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r_tile, p, w_tile),
-                         lambda bi, ri, wi: (bi, ri, 0, wi),
+            pl.BlockSpec((1, r_tile, w_tile, p),
+                         lambda bi, ri, wi: (bi, ri, wi, 0),
                          memory_space=pltpu.VMEM),
             # Blocks the flattened (W*C) axis into contiguous W-chunks;
             # constant in ri, so a chunk stays resident across roi
@@ -209,7 +224,7 @@ def _contract_impl(r_tile, interpret, wy, wx, features,
             + b * rp * p * p * c * 4,
             transcendentals=0,
         ),
-    )(wy, wx, feat2d)
+    )(wy, wx_t, feat2d)
     return out[:, :r]
 
 
