@@ -1,0 +1,120 @@
+"""Materialise VOC-XML trees from raw Cityscapes/Foggy/KITTI downloads.
+
+The reference consumes VOC conversions (``CityscapesVOC/`` etc. —
+lib/datasets/cityscape.py lineage); this script produces exactly those
+trees from the original distributions, using the same parsers the raw
+adapters use (scda_tpu/data/cityscapes.py), so either path yields
+identical ground truth.  Images are symlinked, not copied.
+
+Usage:
+  python scripts/convert_to_voc.py cityscapes --root /data/Cityscapes \
+      --out $SCDA_DATA_ROOT/CityscapesVOC
+  python scripts/convert_to_voc.py foggy --root /data/Cityscapes \
+      --beta 0.02 --out $SCDA_DATA_ROOT/FoggyCityscapesVOC
+  python scripts/convert_to_voc.py kitti --root /data/KITTI \
+      --out $SCDA_DATA_ROOT/KITTIVOC
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from scda_tpu.data.voc import Dataset  # noqa: E402
+
+
+def write_voc_tree(ds: Dataset, out: str, split: str) -> None:
+    os.makedirs(os.path.join(out, "Annotations"), exist_ok=True)
+    os.makedirs(os.path.join(out, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(out, "ImageSets", "Main"), exist_ok=True)
+    ids = []
+    for rec in ds.records:
+        ids.append(rec.image_id)
+        ext = os.path.splitext(rec.image_path)[1]
+        link = os.path.join(out, "JPEGImages", rec.image_id + ext)
+        if not os.path.lexists(link):
+            os.symlink(os.path.abspath(rec.image_path), link)
+        _write_voc_xml_with_difficult(
+            os.path.join(out, "Annotations", rec.image_id + ".xml"),
+            rec, ds.classes, ext,
+        )
+    with open(os.path.join(out, "ImageSets", "Main",
+                           f"{split}.txt"), "w") as f:
+        f.write("\n".join(ids) + ("\n" if ids else ""))
+    print(f"{split}: {len(ids)} images -> {out}")
+
+
+def _write_voc_xml_with_difficult(path, rec, classes, ext) -> None:
+    """VOC XML incl. the difficult flag (group/DontCare regions)."""
+    lines = [
+        "<annotation>",
+        f"  <filename>{rec.image_id}{ext}</filename>",
+        "  <size>",
+        f"    <width>{rec.width}</width>",
+        f"    <height>{rec.height}</height>",
+        "    <depth>3</depth>",
+        "  </size>",
+    ]
+    for box, label, diff in zip(rec.boxes, rec.labels, rec.difficult):
+        x1, y1, x2, y2 = box
+        lines += [
+            "  <object>",
+            f"    <name>{classes[int(label) - 1]}</name>",
+            f"    <difficult>{int(bool(diff))}</difficult>",
+            "    <bndbox>",
+            # VOC stores 1-based pixel coords (parser subtracts 1).
+            f"      <xmin>{int(round(x1)) + 1}</xmin>",
+            f"      <ymin>{int(round(y1)) + 1}</ymin>",
+            f"      <xmax>{int(round(x2)) + 1}</xmax>",
+            f"      <ymax>{int(round(y2)) + 1}</ymax>",
+            "    </bndbox>",
+            "  </object>",
+        ]
+    lines.append("</annotation>")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("dataset", choices=["cityscapes", "foggy", "kitti"])
+    p.add_argument("--root", required=True,
+                   help="raw dataset root (Cityscapes: contains "
+                        "leftImg8bit[_foggy]/ + gtFine/; KITTI: "
+                        "contains training/)")
+    p.add_argument("--out", required=True, help="VOC tree to write")
+    p.add_argument("--beta", type=float, default=0.02,
+                   help="foggy beta level (paper: 0.02)")
+    p.add_argument("--splits", nargs="*", default=None)
+    p.add_argument("--keep_empty", action="store_true")
+    args = p.parse_args()
+
+    from scda_tpu.data.cityscapes import (
+        load_cityscapes_dataset, load_kitti_dataset,
+    )
+
+    if args.dataset == "kitti":
+        ds = load_kitti_dataset(args.root, "training",
+                                keep_empty=args.keep_empty)
+        write_voc_tree(ds, args.out, "train")
+        return 0
+
+    splits = args.splits or ["train", "val"]
+    for split in splits:
+        if args.dataset == "foggy":
+            ds = load_cityscapes_dataset(
+                args.root, split, foggy_beta=args.beta,
+                keep_empty=True)
+        else:
+            ds = load_cityscapes_dataset(args.root, split,
+                                         keep_empty=args.keep_empty)
+        write_voc_tree(ds, args.out, split)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

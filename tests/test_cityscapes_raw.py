@@ -1,0 +1,149 @@
+"""Raw Cityscapes/Foggy/KITTI adapters + VOC converter round-trip.
+
+The reference consumes pre-converted VOC trees whose converter lives
+outside its repo; here both the raw adapters (data/cityscapes.py) and
+the converter (scripts/convert_to_voc.py) are first-class and must
+agree on the ground truth.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from scda_tpu.data.cityscapes import (
+    load_cityscapes_dataset, load_kitti_dataset, parse_kitti_label,
+    polygons_to_record,
+)
+from scda_tpu.data.voc import CITYSCAPES_CLASSES
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _png(path, w, h, seed=0):
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(path)
+
+
+def _city_tree(tmp_path, foggy=False, beta=0.02):
+    """Two-city raw Cityscapes fixture (64x48 frames)."""
+    root = os.path.join(str(tmp_path), "Cityscapes")
+    objects = {
+        "aachen_000000_000019": [
+            {"label": "car", "polygon": [[10, 20], [30, 18], [28, 40],
+                                         [12, 42]]},
+            {"label": "person", "polygon": [[40, 5], [48, 5], [48, 30],
+                                            [40, 30]]},
+            {"label": "cargroup", "polygon": [[50, 30], [62, 30],
+                                              [62, 45], [50, 45]]},
+            {"label": "sky", "polygon": [[0, 0], [63, 0], [63, 10]]},
+        ],
+        "bochum_000001_000042": [
+            {"label": "bicycle", "polygon": [[5, 5], [20, 5], [20, 25],
+                                             [5, 25]]},
+        ],
+    }
+    for stem, objs in objects.items():
+        city = stem.split("_")[0]
+        _png(os.path.join(root, "leftImg8bit", "train", city,
+                          f"{stem}_leftImg8bit.png"), 64, 48)
+        if foggy:
+            _png(os.path.join(
+                root, "leftImg8bit_foggy", "train", city,
+                f"{stem}_leftImg8bit_foggy_beta_{beta:g}.png"), 64, 48)
+        ann = os.path.join(root, "gtFine", "train", city,
+                           f"{stem}_gtFine_polygons.json")
+        os.makedirs(os.path.dirname(ann), exist_ok=True)
+        with open(ann, "w") as f:
+            json.dump({"imgHeight": 48, "imgWidth": 64,
+                       "objects": objs}, f)
+    return root
+
+
+class TestCityscapesRaw:
+    def test_polygons_to_boxes_and_groups(self, tmp_path):
+        root = _city_tree(tmp_path)
+        ds = load_cityscapes_dataset(root, "train")
+        assert ds.classes == CITYSCAPES_CLASSES
+        assert len(ds) == 2
+        rec = {r.image_id: r for r in ds.records}["aachen_000000_000019"]
+        # sky is not a detection class; car/person/cargroup survive.
+        assert len(rec.boxes) == 3
+        car_label = CITYSCAPES_CLASSES.index("car") + 1
+        # The NON-difficult car box is the plain "car" polygon's hull
+        # ("cargroup" shares the label but is difficult).
+        [car_box] = [b for b, l, d in
+                     zip(rec.boxes, rec.labels, rec.difficult)
+                     if int(l) == car_label and not d]
+        np.testing.assert_allclose(car_box, [10, 18, 30, 42])
+        # the group box is the difficult one
+        assert sum(rec.difficult) == 1
+        assert rec.difficult[2]
+
+    def test_foggy_shares_gt(self, tmp_path):
+        root = _city_tree(tmp_path, foggy=True)
+        clear = load_cityscapes_dataset(root, "train")
+        foggy = load_cityscapes_dataset(root, "train", foggy_beta=0.02)
+        assert len(foggy) == len(clear)
+        for a, b in zip(clear.records, foggy.records):
+            np.testing.assert_array_equal(a.boxes, b.boxes)
+            assert "leftImg8bit_foggy" in b.image_path
+
+    def test_kitti_label_parse(self):
+        text = "\n".join([
+            "Car 0.0 0 1.5 10 20 50 40 1 1 1 0 0 0 0",
+            "Van 0.0 1 1.5 60 20 90 40 1 1 1 0 0 0 0",
+            "Pedestrian 0.0 0 1.5 5 5 15 30 1 1 1 0 0 0 0",
+            "Car 0.0 3 1.5 100 20 120 40 1 1 1 0 0 0 0",
+            "DontCare -1 -1 -10 200 10 240 30 -1 -1 -1 -1000",
+        ])
+        boxes, labels, difficult = parse_kitti_label(text, 300, 100)
+        # Car, Van, heavily-occluded Car, DontCare (Pedestrian dropped)
+        assert len(boxes) == 4
+        assert labels.tolist() == [1, 1, 1, 1]
+        assert difficult.tolist() == [False, False, True, True]
+
+    def test_kitti_tree(self, tmp_path):
+        root = os.path.join(str(tmp_path), "KITTI")
+        _png(os.path.join(root, "training", "image_2", "000000.png"),
+             120, 40)
+        os.makedirs(os.path.join(root, "training", "label_2"),
+                    exist_ok=True)
+        with open(os.path.join(root, "training", "label_2",
+                               "000000.txt"), "w") as f:
+            f.write("Car 0.0 0 1.5 10 5 60 35 1 1 1 0 0 0 0\n")
+        ds = load_kitti_dataset(root)
+        assert len(ds) == 1 and ds.classes == ("car",)
+        np.testing.assert_allclose(ds.records[0].boxes[0],
+                                   [10, 5, 60, 35])
+
+    def test_converter_roundtrip_matches_raw(self, tmp_path):
+        """convert_to_voc.py's tree loads back through the VOC parser
+        with identical ground truth (within integer rounding)."""
+        root = _city_tree(tmp_path)
+        out = os.path.join(str(tmp_path), "CityscapesVOC")
+        r = subprocess.run(
+            [sys.executable, "scripts/convert_to_voc.py", "cityscapes",
+             "--root", root, "--out", out, "--splits", "train"],
+            capture_output=True, text=True, cwd=REPO, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+        from scda_tpu.data.voc import load_voc_dataset
+
+        raw = load_cityscapes_dataset(root, "train")
+        voc = load_voc_dataset(out, "train", CITYSCAPES_CLASSES,
+                               name="conv")
+        assert len(voc) == len(raw)
+        for a, b in zip(raw.records, voc.records):
+            assert a.image_id == b.image_id
+            np.testing.assert_allclose(b.boxes, np.round(a.boxes),
+                                       atol=0.5)
+            np.testing.assert_array_equal(b.labels, a.labels)
+            np.testing.assert_array_equal(b.difficult, a.difficult)
+            assert os.path.exists(b.image_path)  # symlink resolves
