@@ -264,6 +264,16 @@ def register_raw_datasets(data_root: Optional[str] = None) -> None:
     register_dataset(
         "kitti_raw_train",
         lambda: load_kitti_dataset(os.path.join(root, "KITTI")))
+    # Stock SIM10k ships VOC-layout already, with the trainval10k split
+    # file — only the directory/split names differ from the converted
+    # SIM10kVOC convention.
+    from scda_tpu.data.voc import load_voc_dataset
+
+    register_dataset(
+        "sim10k_raw_train",
+        lambda: load_voc_dataset(
+            os.path.join(root, "Sim10k"), "trainval10k",
+            CAR_ONLY_CLASSES, name="sim10k_raw_train"))
 
 
 register_raw_datasets()
