@@ -145,7 +145,7 @@ def load_cityscapes_dataset(
                     labels=np.zeros((0,), np.int32),
                     difficult=np.zeros((0,), bool),
                 )
-            if len(rec.boxes) == 0 and not keep_empty:
+            if not keep_empty and not np.any(~rec.difficult):
                 continue
             records.append(rec)
             if max_images and len(records) >= max_images:
@@ -230,9 +230,10 @@ def load_kitti_dataset(
             boxes = np.zeros((0, 4), np.float32)
             labels = np.zeros((0,), np.int32)
             difficult = np.zeros((0,), bool)
-        # A record whose only boxes are difficult still trains
-        # (difficult ones are ignored in eval, masked in targets).
-        if len(boxes) == 0 and not keep_empty:
+        # Difficult-only records (all DontCare / occluded) carry no
+        # trainable gt — prepare_gt_boxes drops difficult boxes — so
+        # they are filtered like empty ones (ref filter_roidb).
+        if not keep_empty and not np.any(~difficult):
             continue
         records.append(ImageRecord(
             image_id=stem, image_path=img_path, width=w, height=h,

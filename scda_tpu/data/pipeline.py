@@ -195,10 +195,20 @@ def prepare_gt_boxes(
     cfg: DataConfig,
     flip: bool = False,
 ) -> Tuple[np.ndarray, int]:
-    """Scale (and maybe flip) gt boxes into canvas coords; pad to fixed G."""
+    """Scale (and maybe flip) gt boxes into canvas coords; pad to fixed G.
+
+    Difficult boxes (VOC ``difficult``, Cityscapes ``*group`` hulls,
+    KITTI DontCare) are dropped here: the reference keeps them out of
+    training roidbs (``use_diff=False`` in pascal_voc.py:~180), while our
+    loaders retain them on the record so the evaluator can apply the
+    ignore semantics (evals/voc_eval.py). This is the train-path choke
+    point, so filtering once here covers every dataset adapter.
+    """
     g = cfg.max_gt_boxes
     out = np.zeros((g, 5), np.float32)
-    boxes = record.boxes.copy()
+    keep = ~record.difficult if len(record.difficult) else slice(None)
+    boxes = record.boxes[keep].copy()
+    labels = record.labels[keep]
     if flip and len(boxes):
         # Ref imdb.append_flipped_images (lib/datasets/imdb.py:~150).
         x1 = record.width - boxes[:, 2] - 1
@@ -207,7 +217,7 @@ def prepare_gt_boxes(
     n = min(len(boxes), g)
     if n:
         out[:n, :4] = boxes[:n] * scale
-        out[:n, 4] = record.labels[:n].astype(np.float32)
+        out[:n, 4] = labels[:n].astype(np.float32)
     return out, n
 
 

@@ -106,9 +106,9 @@ def make_synthetic_dataset(
         Image.fromarray(img).save(
             os.path.join(root, "JPEGImages", image_id + ".png")
         )
-        _write_voc_xml(
+        write_voc_xml(
             os.path.join(root, "Annotations", image_id + ".xml"),
-            image_id, w, h, boxes, labels, classes,
+            image_id + ".png", w, h, boxes, labels, classes,
         )
     with open(os.path.join(root, "ImageSets", "Main", f"{split}.txt"), "w") as f:
         f.write("\n".join(ids) + "\n")
@@ -116,28 +116,33 @@ def make_synthetic_dataset(
     return load_voc_dataset(root, split, classes, name=name)
 
 
-def _write_voc_xml(path, image_id, width, height, boxes, labels, classes):
+def write_voc_xml(path, filename, width, height, boxes, labels, classes,
+                  difficult=None):
+    """The repo's single VOC-XML writer (fixture generator AND the
+    raw->VOC converter in scripts/convert_to_voc.py use it)."""
     lines = [
         "<annotation>",
-        f"  <filename>{image_id}.png</filename>",
+        f"  <filename>{filename}</filename>",
         "  <size>",
         f"    <width>{width}</width>",
         f"    <height>{height}</height>",
         "    <depth>3</depth>",
         "  </size>",
     ]
-    for box, label in zip(boxes, labels):
+    if difficult is None:
+        difficult = np.zeros((len(labels),), bool)
+    for box, label, diff in zip(boxes, labels, difficult):
         x1, y1, x2, y2 = box
         lines += [
             "  <object>",
             f"    <name>{classes[int(label) - 1]}</name>",
-            "    <difficult>0</difficult>",
+            f"    <difficult>{int(bool(diff))}</difficult>",
             "    <bndbox>",
-            # VOC stores 1-based pixel coords.
-            f"      <xmin>{int(x1) + 1}</xmin>",
-            f"      <ymin>{int(y1) + 1}</ymin>",
-            f"      <xmax>{int(x2) + 1}</xmax>",
-            f"      <ymax>{int(y2) + 1}</ymax>",
+            # VOC stores 1-based pixel coords (the parser subtracts 1).
+            f"      <xmin>{int(round(float(x1))) + 1}</xmin>",
+            f"      <ymin>{int(round(float(y1))) + 1}</ymin>",
+            f"      <xmax>{int(round(float(x2))) + 1}</xmax>",
+            f"      <ymax>{int(round(float(y2))) + 1}</ymax>",
             "    </bndbox>",
             "  </object>",
         ]

@@ -99,9 +99,11 @@ def parse_voc_xml(
             continue
         diff_node = obj.find("difficult")
         is_diff = bool(int(diff_node.text)) if diff_node is not None else False
-        if is_diff and not use_difficult:
-            # The reference keeps difficult boxes out of training roidbs.
-            pass  # still recorded; filtering happens at pipeline/eval level
+        # Difficult boxes stay on the record (the evaluator needs them
+        # for ignore semantics); training drops them in
+        # pipeline.prepare_gt_boxes, mirroring ref use_diff=False.
+        if is_diff and use_difficult:
+            is_diff = False  # explicit opt-in: train on difficult gt too
         bb = obj.find("bndbox")
         x1 = float(bb.find("xmin").text) - 1
         y1 = float(bb.find("ymin").text) - 1
@@ -175,7 +177,9 @@ def load_voc_dataset(
             boxes = np.zeros((0, 4), np.float32)
             labels = np.zeros((0,), np.int32)
             difficult = np.zeros((0,), bool)
-        if len(boxes) == 0 and not keep_empty:
+        if not keep_empty and not np.any(~difficult):
+            # Ref filter_roidb (trainval_net.py:~60): no *usable* gt —
+            # difficult boxes don't train (pipeline.prepare_gt_boxes).
             continue
         records.append(
             ImageRecord(image_id, img_path, w, h, boxes, labels, difficult)

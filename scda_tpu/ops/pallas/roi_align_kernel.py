@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _contract_kernel(wy_ref, wx_ref, feat_ref, out_ref, *, r_tile, p, c,
-                     w_tile, num_w_tiles):
+                     w_tile):
     """One (image, roi-tile, w-tile) step: both contractions, tmp in
     VMEM, accumulating over W chunks.
 
@@ -165,34 +165,55 @@ def _contract_impl(r_tile, interpret, wy, wx, features,
         wx = jnp.pad(wx, ((0, 0), (0, pad), (0, 0), (0, 0)))
     rp = r + pad
 
-    feat2d = features.astype(jnp.float32).reshape(b, height, width * c)
-    wy = wy.astype(jnp.float32)
-    # (B, R, P, W) -> (B, R, W, P): W into the sublane dim (see kernel).
-    wx_t = jnp.transpose(wx.astype(jnp.float32), (0, 1, 3, 2))
-
     # W-tiling keeps the per-step VMEM bounded: feature chunk
     # (H, WT*C) + tmp (RT*P, WT*C) f32 within ~8 MB.  Small maps run
     # single-chunk (the r2 behaviour).
     if w_tile_override:
         w_tile = int(w_tile_override)
         assert width % w_tile == 0, (width, w_tile)
+        # Mosaic sublane rule for the transposed-wx block (second-to-
+        # last block dim): multiple of 8, or the full axis.  Interpret
+        # mode has no such constraint, so tiny-W tests may use it.
+        assert interpret or w_tile % 8 == 0 or w_tile == width, (
+            f"w_tile={w_tile} violates the Mosaic sublane rule "
+            "(w_tile % 8 == 0 or w_tile == width) on real TPUs")
     else:
         budget = 8 * 1024 * 1024 // 4              # f32 elements
         per_w = (height + r_tile * p) * c          # elements per W col
         cap = max(min(width, budget // per_w), 1)
-        # Mosaic sublane rule for the transposed-wx block: the W chunk
-        # must be a multiple of 8 (or the whole axis).
-        w_tile = width
-        for cand in range(cap, 7, -1):
-            if width % cand == 0 and cand % 8 == 0:
-                w_tile = cand
-                break
+        if cap >= width:
+            w_tile = width                         # single chunk
+        else:
+            # Prefer a divisor (no padding); Mosaic sublane rule: the
+            # W chunk must be a multiple of 8 (or the whole axis).
+            w_tile = 0
+            for cand in range(cap, 7, -1):
+                if width % cand == 0 and cand % 8 == 0:
+                    w_tile = cand
+                    break
+            if not w_tile:
+                # No aligned divisor (e.g. W=132): pad W up to a
+                # multiple of an aligned tile instead of blowing VMEM
+                # with the full width.  Padded columns carry zero wx
+                # weight, so the contraction is unchanged.
+                w_tile = max(cap - cap % 8, 8)
+    wpad = (-width) % w_tile
+    if wpad:
+        features = jnp.pad(
+            features, ((0, 0), (0, 0), (0, wpad), (0, 0)))
+        wx = jnp.pad(wx, ((0, 0), (0, 0), (0, 0), (0, wpad)))
+        width += wpad
     num_w_tiles = width // w_tile
+
+    feat2d = features.astype(jnp.float32).reshape(b, height, width * c)
+    wy = wy.astype(jnp.float32)
+    # (B, R, P, W) -> (B, R, W, P): W into the sublane dim (see kernel).
+    wx_t = jnp.transpose(wx.astype(jnp.float32), (0, 1, 3, 2))
 
     grid = (b, rp // r_tile, num_w_tiles)
     out = pl.pallas_call(
         functools.partial(_contract_kernel, r_tile=r_tile, p=p, c=c,
-                          w_tile=w_tile, num_w_tiles=num_w_tiles),
+                          w_tile=w_tile),
         out_shape=jax.ShapeDtypeStruct((b, rp, p, p, c), jnp.float32),
         grid=grid,
         in_specs=[

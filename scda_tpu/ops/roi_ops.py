@@ -391,8 +391,7 @@ def roi_align_grouped(
 
     Returns (B, R, P, P, C) in the dtype of ``features``.
     """
-    b, height, width, c = features.shape
-    orig_dtype = features.dtype
+    _, height, width, _ = features.shape
     wy, wx = roi_align_axis_weights(
         rois, height, width, output_size=output_size,
         spatial_scale=spatial_scale, sampling_ratio=sampling_ratio,

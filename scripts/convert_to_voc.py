@@ -24,7 +24,19 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+from scda_tpu.data.synthetic import write_voc_xml  # noqa: E402
 from scda_tpu.data.voc import Dataset  # noqa: E402
+
+
+def _refresh_symlink(link: str, target: str) -> None:
+    """Point ``link`` at ``target``, replacing a stale/broken link (e.g.
+    after re-running the converter with a moved --root)."""
+    if os.path.lexists(link):
+        if (os.path.islink(link)
+                and os.path.realpath(link) == os.path.realpath(target)):
+            return
+        os.remove(link)
+    os.symlink(target, link)
 
 
 def write_voc_tree(ds: Dataset, out: str, split: str) -> None:
@@ -36,47 +48,16 @@ def write_voc_tree(ds: Dataset, out: str, split: str) -> None:
         ids.append(rec.image_id)
         ext = os.path.splitext(rec.image_path)[1]
         link = os.path.join(out, "JPEGImages", rec.image_id + ext)
-        if not os.path.lexists(link):
-            os.symlink(os.path.abspath(rec.image_path), link)
-        _write_voc_xml_with_difficult(
+        _refresh_symlink(link, os.path.abspath(rec.image_path))
+        write_voc_xml(
             os.path.join(out, "Annotations", rec.image_id + ".xml"),
-            rec, ds.classes, ext,
+            rec.image_id + ext, rec.width, rec.height,
+            rec.boxes, rec.labels, ds.classes, rec.difficult,
         )
     with open(os.path.join(out, "ImageSets", "Main",
                            f"{split}.txt"), "w") as f:
         f.write("\n".join(ids) + ("\n" if ids else ""))
     print(f"{split}: {len(ids)} images -> {out}")
-
-
-def _write_voc_xml_with_difficult(path, rec, classes, ext) -> None:
-    """VOC XML incl. the difficult flag (group/DontCare regions)."""
-    lines = [
-        "<annotation>",
-        f"  <filename>{rec.image_id}{ext}</filename>",
-        "  <size>",
-        f"    <width>{rec.width}</width>",
-        f"    <height>{rec.height}</height>",
-        "    <depth>3</depth>",
-        "  </size>",
-    ]
-    for box, label, diff in zip(rec.boxes, rec.labels, rec.difficult):
-        x1, y1, x2, y2 = box
-        lines += [
-            "  <object>",
-            f"    <name>{classes[int(label) - 1]}</name>",
-            f"    <difficult>{int(bool(diff))}</difficult>",
-            "    <bndbox>",
-            # VOC stores 1-based pixel coords (parser subtracts 1).
-            f"      <xmin>{int(round(x1)) + 1}</xmin>",
-            f"      <ymin>{int(round(y1)) + 1}</ymin>",
-            f"      <xmax>{int(round(x2)) + 1}</xmax>",
-            f"      <ymax>{int(round(y2)) + 1}</ymax>",
-            "    </bndbox>",
-            "  </object>",
-        ]
-    lines.append("</annotation>")
-    with open(path, "w") as f:
-        f.write("\n".join(lines))
 
 
 def main() -> int:
@@ -98,9 +79,13 @@ def main() -> int:
     )
 
     if args.dataset == "kitti":
-        ds = load_kitti_dataset(args.root, "training",
-                                keep_empty=args.keep_empty)
-        write_voc_tree(ds, args.out, "train")
+        # KITTI's labeled data lives in training/; `testing` has no
+        # label_2 and converts to an image-only (target-style) tree.
+        for split in args.splits or ["training"]:
+            ds = load_kitti_dataset(args.root, split,
+                                    keep_empty=args.keep_empty)
+            out_split = "train" if split == "training" else split
+            write_voc_tree(ds, args.out, out_split)
         return 0
 
     splits = args.splits or ["train", "val"]
