@@ -169,12 +169,13 @@ def _contract_impl(r_tile, interpret, wy, wx, features,
     # (H, WT*C) + tmp (RT*P, WT*C) f32 within ~8 MB.  Small maps run
     # single-chunk (the r2 behaviour).
     if w_tile_override:
+        # Non-divisor overrides go through the same W-padding path as
+        # auto-selection below (padded columns carry zero wx weight).
         w_tile = int(w_tile_override)
-        assert width % w_tile == 0, (width, w_tile)
         # Mosaic sublane rule for the transposed-wx block (second-to-
         # last block dim): multiple of 8, or the full axis.  Interpret
         # mode has no such constraint, so tiny-W tests may use it.
-        assert interpret or w_tile % 8 == 0 or w_tile == width, (
+        assert interpret or w_tile % 8 == 0 or w_tile >= width, (
             f"w_tile={w_tile} violates the Mosaic sublane rule "
             "(w_tile % 8 == 0 or w_tile == width) on real TPUs")
     else:

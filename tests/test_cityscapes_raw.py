@@ -122,6 +122,55 @@ class TestCityscapesRaw:
         np.testing.assert_allclose(ds.records[0].boxes[0],
                                    [10, 5, 60, 35])
 
+    def test_difficult_only_kitti_record_filtered(self, tmp_path):
+        """An image whose only annotations are DontCare/occluded carries
+        no trainable gt (prepare_gt_boxes drops difficult boxes) and is
+        filtered like an empty one — ref filter_roidb semantics.
+        keep_empty=True opts back in (target-domain loading)."""
+        root = os.path.join(str(tmp_path), "KITTI")
+        for stem, label in [
+            ("000000", "Car 0.0 0 1.5 10 5 60 35 1 1 1 0 0 0 0\n"),
+            ("000001", "DontCare -1 -1 -10 60 10 90 30 -1 -1 -1 -1000\n"),
+        ]:
+            _png(os.path.join(root, "training", "image_2",
+                              f"{stem}.png"), 120, 40)
+            os.makedirs(os.path.join(root, "training", "label_2"),
+                        exist_ok=True)
+            with open(os.path.join(root, "training", "label_2",
+                                   f"{stem}.txt"), "w") as f:
+                f.write(label)
+        ds = load_kitti_dataset(root)
+        assert [r.image_id for r in ds.records] == ["000000"]
+        ds_all = load_kitti_dataset(root, keep_empty=True)
+        assert len(ds_all) == 2
+
+    def test_converter_kitti_splits_and_difficult(self, tmp_path):
+        """KITTI conversion honors --splits and writes the difficult
+        flag so DontCare survives the round-trip."""
+        root = os.path.join(str(tmp_path), "KITTI")
+        _png(os.path.join(root, "training", "image_2", "000000.png"),
+             120, 40)
+        os.makedirs(os.path.join(root, "training", "label_2"),
+                    exist_ok=True)
+        with open(os.path.join(root, "training", "label_2",
+                               "000000.txt"), "w") as f:
+            f.write("Car 0.0 0 1.5 10 5 60 35 1 1 1 0 0 0 0\n"
+                    "DontCare -1 -1 -10 60 10 90 30 -1 -1 -1 -1000\n")
+        out = os.path.join(str(tmp_path), "KITTIVOC")
+        r = subprocess.run(
+            [sys.executable, "scripts/convert_to_voc.py", "kitti",
+             "--root", root, "--out", out, "--splits", "training"],
+            capture_output=True, text=True, cwd=REPO, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+        from scda_tpu.data.voc import load_voc_dataset
+
+        voc = load_voc_dataset(out, "train", ("car",), name="kvoc")
+        [rec] = voc.records
+        assert len(rec.boxes) == 2
+        assert rec.difficult.tolist() == [False, True]
+
     def test_converter_roundtrip_matches_raw(self, tmp_path):
         """convert_to_voc.py's tree loads back through the VOC parser
         with identical ground truth (within integer rounding)."""

@@ -210,6 +210,35 @@ class TestGtBoxScaling:
         np.testing.assert_allclose(gt[0, :4], [16.0, 32.0, 176.0, 352.0],
                                    rtol=1e-6)
 
+    def test_difficult_boxes_dropped_from_training_gt(self, tmp_path):
+        """Difficult gt (VOC difficult / Cityscapes group / KITTI
+        DontCare) never reaches the train step (r3 fix: a DontCare
+        region was trained as a real car positive).  The record keeps
+        them for the evaluator's ignore semantics."""
+        from scda_tpu.data.pipeline import prepare_gt_boxes
+
+        rec = _record(tmp_path, "d", 100, 200,
+                      boxes=[[10.0, 10.0, 50.0, 50.0],
+                             [60.0, 10.0, 90.0, 40.0],
+                             [5.0, 60.0, 45.0, 90.0]])
+        rec = dataclasses.replace(
+            rec,
+            labels=np.array([1, 2, 1], np.int32),
+            difficult=np.array([False, True, False]),
+        )
+        cfg = DataConfig(max_gt_boxes=4)
+        gt, n = prepare_gt_boxes(rec, 2.0, cfg)
+        assert n == 2
+        np.testing.assert_allclose(gt[0], [20, 20, 100, 100, 1])
+        # the difficult label-2 box is gone; labels stay aligned
+        np.testing.assert_allclose(gt[1], [10, 120, 90, 180, 1])
+        assert not np.any(gt[:, 4] == 2)
+        # flip path also operates on the filtered set
+        gt_f, n_f = prepare_gt_boxes(rec, 1.0, cfg, flip=True)
+        assert n_f == 2
+        np.testing.assert_allclose(
+            gt_f[0], [200 - 50 - 1, 10, 200 - 10 - 1, 50, 1])
+
 
 class TestCanvasDiskCache:
     """Disk-backed preprocessed-canvas store (r2 VERDICT missing #3)."""

@@ -576,3 +576,25 @@ class TestPallasWTiling:
             np.testing.assert_allclose(np.asarray(tiled),
                                        np.asarray(full),
                                        rtol=1e-6, atol=1e-6)
+
+    def test_w_padding_when_tile_does_not_divide(self, rng):
+        """W with no aligned divisor (e.g. 132 = 4*3*11 on real maps,
+        13 here) is zero-padded up to a tile multiple instead of falling
+        back to one giant chunk (r3 fix: the fallback blew the VMEM
+        budget the tiling exists to bound).  Padded columns carry zero
+        wx weight, so only chunked-accumulation rounding may differ."""
+        from scda_tpu.ops.pallas.roi_align_kernel import roi_align_contract
+        from scda_tpu.ops.roi_ops import roi_align_axis_weights
+
+        b, h, w, c, r, p = 1, 8, 13, 8, 5, 7
+        feat = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        rois = jnp.asarray(
+            np.stack([random_rois(rng, r, h * 16, w * 16)]))
+        wy, wx = roi_align_axis_weights(rois, h, w, output_size=p)
+        full = roi_align_contract(wy, wx, feat, r_tile=4, interpret=True)
+        for wt in (4, 8):   # 13 % 4 != 0 -> pads to 16
+            padded = roi_align_contract(wy, wx, feat, r_tile=4,
+                                        interpret=True, w_tile=wt)
+            np.testing.assert_allclose(np.asarray(padded),
+                                       np.asarray(full),
+                                       rtol=1e-6, atol=1e-6)
