@@ -159,7 +159,7 @@ def bench_inference(batch_size=1, preset="vgg16", **model_over):
     return med, spread, "bfloat16"
 
 
-def bench_train(batch_size=1):
+def bench_train(batch_size=1, **model_over):
     import jax
     import jax.numpy as jnp
 
@@ -171,6 +171,8 @@ def bench_train(batch_size=1):
     cfg = get_config("vgg16")
     cfg = replace_path(cfg, "data.image_size", (512, 1024))
     cfg = replace_path(cfg, "train.batch_size", batch_size)
+    for k, v in model_over.items():
+        cfg = replace_path(cfg, f"model.{k}", v)
     model = build_model(cfg.model)
     params = init_params(model, jax.random.key(0), (1, 64, 96, 3))
     state = create_train_state(cfg, params)

@@ -98,6 +98,12 @@ class ModelConfig:
     # Applies to align/align_legacy grouped pooling; CPU tests keep the
     # einsum path (Mosaic kernels need TPU or interpret mode).
     roi_pallas: bool = False
+    # Fused Pallas VGG stem (conv1_1+relu+conv1_2+relu+pool1 in one
+    # VMEM-resident kernel — ops/pallas/stem_kernel.py; 23.3 -> 9.4 ms
+    # standalone at bs=8 512x1024).  Auto-applies only when tracing for
+    # a TPU in bf16 on supported shapes; CPU/f32/odd shapes fall back to
+    # the stacked-27 einsum + lax.conv path.
+    stem_pallas: bool = True
     class_agnostic: bool = False
     truncated_init: bool = False     # ref TRAIN.TRUNCATED
     compute_dtype: str = "bfloat16"  # MXU-native matmul/conv dtype

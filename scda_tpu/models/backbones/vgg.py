@@ -118,22 +118,70 @@ class StemConv3x3(nn.Module):
         return (out + bias).astype(self.dtype)
 
 
+class _Conv3x3Params(nn.Module):
+    """Parameter-only twin of ``nn.Conv(features, (3, 3))`` — declares the
+    identical {kernel, bias} tree (same names, shapes, init) so the fused
+    Pallas stem can swap in without touching checkpoints/converters."""
+
+    c_in: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.c_in, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
 class VGG16Backbone(nn.Module):
     """conv1_1..conv5_3, stride 16, 512-channel output.
 
     ``return_pyramid=True`` additionally returns the stride-8 conv4_3
     feature (512 ch) for multi-scale RoI pooling (config #5); the flag
     only changes what is returned, never the parameter structure.
+
+    ``stem_pallas=True`` (default) runs conv1_1+relu+conv1_2+relu+pool1
+    through the fused Pallas kernel (ops/pallas/stem_kernel.py) when
+    tracing for a TPU in bf16 on supported shapes — measured 23.3 ->
+    9.4 ms standalone at bs=8 512x1024 (the XLA lowering spends ~10 ms
+    on layout copies + patch concat of the 512 MB full-res activation).
+    conv1/conv2 are frozen in every config (ref vgg16.py:~50), so the
+    fused output is wrapped in stop_gradient — identical semantics to
+    the frozen-grad DCE on the unfused path.  Parameter tree, converter
+    and checkpoints are unchanged.
     """
 
     dtype: Any = jnp.bfloat16
+    stem_pallas: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_pyramid: bool = False):
+        from scda_tpu.ops.pallas import stem_kernel
+
         x = x.astype(self.dtype)
         f8 = None
         pools = 0
-        for item in VGG16_LAYOUT:
+        layout = VGG16_LAYOUT
+        if (
+            self.stem_pallas
+            and jax.default_backend() == "tpu"
+            and self.dtype == jnp.bfloat16
+            and stem_kernel.supported(x.shape[1], x.shape[2],
+                                      x.shape[3], 64, 8)
+        ):
+            k1, b1 = _Conv3x3Params(x.shape[3], 64, name="conv0")()
+            k2, b2 = _Conv3x3Params(64, 64, name="conv2")()
+            # stop_gradient on the INPUTS: the kernel has no JVP rule,
+            # and conv1/conv2 are frozen anyway — no tangent may enter.
+            x, k1, b1, k2, b2 = jax.lax.stop_gradient(
+                (x, k1, b1, k2, b2))
+            x = stem_kernel.vgg_stem_fused(
+                x, k1, b1, k2, b2, row_tile=8, dtype=self.dtype)
+            pools = 1
+            layout = VGG16_LAYOUT[3:]      # conv0, conv2, first M done
+        for item in layout:
             if item == "M":
                 if pools == 3:
                     f8 = x  # conv4_3 output, stride 8

@@ -52,7 +52,8 @@ class FasterRCNN(nn.Module):
     def setup(self):
         c = self.cfg
         if c.backbone == "vgg16":
-            self.backbone = VGG16Backbone(dtype=self.dtype)
+            self.backbone = VGG16Backbone(dtype=self.dtype,
+                                          stem_pallas=c.stem_pallas)
             self.head = VGG16Head(dtype=self.dtype)
         elif c.backbone == "tiny":
             from scda_tpu.models.backbones.tiny import TinyBackbone, TinyHead
