@@ -74,6 +74,29 @@ class TestStemKernel:
         scale = np.abs(ref).max()
         assert np.abs(out - ref).max() / scale < 2e-2
 
+    def test_sharded_batch_partitions_without_allgather(self, rng):
+        """Under pjit with the batch sharded over the 8-device mesh the
+        custom_partitioning rule must run the kernel on local shards —
+        no all-gather of the full-res image (GSPMD's default for an
+        unruled Mosaic custom call) — and match the unsharded result."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+        data = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+
+        x = jnp.asarray(rng.randn(8, 16, 16, 3).astype(np.float32))
+        k1, b1, k2, b2 = _weights(rng)
+        fn = functools.partial(vgg_stem_fused, row_tile=8,
+                               dtype=jnp.float32, interpret=True)
+        jf = jax.jit(fn, in_shardings=(data, repl, repl, repl, repl),
+                     out_shardings=data)
+        hlo = jf.lower(x, k1, b1, k2, b2).compile().as_text()
+        assert "all-gather" not in hlo
+        out = np.asarray(jf(x, k1, b1, k2, b2))
+        ref = np.asarray(fn(x, k1, b1, k2, b2))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
     def test_supported_gate(self):
         assert supported(512, 1024, 3, 64, 8)
         assert supported(1024, 608, 3, 64, 8)      # portrait canvas
