@@ -29,6 +29,14 @@ Mosaic lowering constraints shaped the code (kept as comments inline):
 no gather / dynamic_slice on values (use refs + pl.ds), no cumsum (use
 triangular matmul), no i1 loop carries or (N,1) i1 reshapes (carry f32).
 
+Sharding caveat (this kernel is OPT-IN; lax NMS is the default): GSPMD
+has no partitioning rule for a Mosaic custom call, so under pjit with a
+batch-sharded operand it would replicate the call (all-gather inputs,
+redundant compute per chip).  The default lax path partitions cleanly;
+if this kernel is ever promoted to a sharded hot path, wrap it in a
+batch-axis ``custom_partitioning`` as ``stem_kernel._partitioned_stem``
+does.
+
 Inputs must be pre-sorted by descending score with invalid slots pushed
 to the end (the wrapper in scda_tpu.ops.nms sorts via lax.top_k).
 """

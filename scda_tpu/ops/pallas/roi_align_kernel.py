@@ -32,6 +32,13 @@ the op through a custom_vjp whose backward reuses the same kernel with
 transposed weights is unnecessary — boxes are stop-gradient everywhere
 in the model, and XLA differentiates the einsum fallback; the Pallas
 path is wired for the inference/forward hot loop (`model.roi_pallas`).
+
+Sharding caveat (this kernel is OPT-IN; the einsum path is the
+default): GSPMD has no partitioning rule for a Mosaic custom call, so
+under pjit with a batch-sharded operand it would replicate the call.
+The einsum default partitions cleanly; if this kernel is ever promoted
+to a sharded hot path, wrap it in a batch-axis ``custom_partitioning``
+as ``stem_kernel._partitioned_stem`` does.
 """
 
 from __future__ import annotations
