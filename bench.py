@@ -10,6 +10,8 @@ Configs (BASELINE.json `configs`, RESULTS.md table):
   inference_bs8  #1' VGG16 serving, bs=8
   train_bs1      #2  source-only train step, bs=1
   train_bs8      #2' source-only train step, bs=8
+  train_bs16     #2'' train step, bs=16 (per-chip optimum after the
+                 fused stem removed the r2 bs=16 working-set cliff)
   scda_bs1       #3  SCDA adaptation step (joint/GRL), bs=1
   scda_car       #4  car-only SCDA (class-agnostic, alternating D/G)
   res101_ms      #5  ResNet-101 + multi-scale RoI align, inference bs=1
@@ -54,6 +56,7 @@ BASELINES_IMG_PER_SEC = {
     "inference_bs8": 5.0,
     "train_bs1": 2.5,
     "train_bs8": 2.5,
+    "train_bs16": 2.5,
     "scda_bs1": 1.5,
     "scda_car": 1.5,
     "res101_ms": 4.0,
@@ -260,6 +263,7 @@ CONFIG_RUNNERS = {
     "inference_bs8": lambda: bench_inference(8),
     "train_bs1": lambda: bench_train(1),
     "train_bs8": lambda: bench_train(8),
+    "train_bs16": lambda: bench_train(16),
     "scda_bs1": lambda: _bench_scda(car=False),
     "scda_car": lambda: _bench_scda(car=True),
     "res101_ms": lambda: bench_inference(
@@ -295,6 +299,7 @@ METRIC_NAMES = {
     "inference_bs8": "vgg16_fasterrcnn_inference_bs8_images_per_sec_per_chip",
     "train_bs1": "vgg16_fasterrcnn_train_bs1_images_per_sec_per_chip",
     "train_bs8": "vgg16_fasterrcnn_train_bs8_images_per_sec_per_chip",
+    "train_bs16": "vgg16_fasterrcnn_train_bs16_images_per_sec_per_chip",
     "scda_bs1": "scda_adapt_step_src_images_per_sec_per_chip",
     "scda_car": "scda_car_alternating_src_images_per_sec_per_chip",
     "res101_ms": "res101_multiscale_inference_images_per_sec_per_chip",

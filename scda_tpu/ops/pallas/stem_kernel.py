@@ -101,17 +101,21 @@ def _stem_kernel(img_ref, w1_ref, w2_ref, b1_ref, b2_ref, out_ref,
         # zero padding (the padded image alone would give relu(b1)).
         g = r0 - 1 + r
         valid = jnp.logical_and(g >= 0, g < height)
-        y1_ref[r] = jnp.where(valid, y, 0.0).astype(cdtype)
+        y1 = jnp.where(valid, y, 0.0)                    # f32: rolls are
+        # 32-bit native, so shifting BEFORE the bf16 store avoids the
+        # f32<->bf16 round-trip inside _shift.  Store the three
+        # dx-shifted variants ONCE per y1 row (2 rolls) instead of
+        # re-rolling per consuming output row (was 6 rolls per output
+        # row — the rolls were ~2/5 of kernel time).
+        for d, dx in enumerate((-1, 0, 1)):
+            y1_ref[d, r] = _shift(y1, dx, axis=0).astype(cdtype)
 
     # conv1_2 + relu + 2x2 pool, one output-row PAIR at a time.
     for q in range(th // 2):
         pair = []
         for rr in (2 * q, 2 * q + 1):
-            ys = []
-            for dy in range(3):
-                y1row = y1_ref[rr + dy]                  # (W, 64)
-                for dx in (-1, 0, 1):
-                    ys.append(_shift(y1row, dx, axis=0))  # W in sublanes
+            ys = [y1_ref[d, rr + dy]                     # (W, 64)
+                  for dy in range(3) for d in range(3)]
             cat = jnp.concatenate(ys, axis=1)            # (W, 576)
             acc = jnp.dot(cat, w2_ref[...],
                           preferred_element_type=jnp.float32)
@@ -241,7 +245,7 @@ def _stem_call(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, w, c_out), dtype),
+            pltpu.VMEM((3, th + 2, w, c_out), dtype),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
