@@ -257,6 +257,9 @@ def make_scda_train_step(
     "alternating" (GAN-style true/flipped-label two-loss) — the step
     structure (one forward, two optimizers) is identical either way.
     """
+    from scda_tpu.train.steps import check_train_config
+
+    check_train_config(cfg)
     if cfg.adapt.d_update not in ("joint", "alternating"):
         raise ValueError(f"adapt.d_update: {cfg.adapt.d_update!r} "
                          "(want 'joint' or 'alternating')")

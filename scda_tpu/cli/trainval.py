@@ -126,6 +126,16 @@ def build_config(args):
     overrides = dict(zip(args.set_cfgs[0::2], args.set_cfgs[1::2]))
     if overrides:
         cfg = apply_overrides(cfg, overrides)
+    if (cfg.model.stem_pallas and cfg.model.backbone == "vgg16"
+            and not cfg.train.freeze_pretrained_layers):
+        # The fused stem has no backward kernel (it relies on conv1/conv2
+        # being frozen); with freezing off it must not run or those
+        # layers would silently never train (train/steps.py raises for
+        # library users — the CLI auto-disables instead).
+        print("note: model.stem_pallas disabled "
+              "(train.freeze_pretrained_layers=false needs conv1/conv2 "
+              "gradients, which the fused stem does not produce)")
+        cfg = replace_path(cfg, "model.stem_pallas", False)
     return cfg
 
 

@@ -28,8 +28,10 @@ to one image read (12 MB) + one pooled write (128 MB at bs=8).
 Gradients: conv1_1/conv1_2 are frozen in every supported config (ref
 vgg16.py:~50 "Fix the layers before conv3"; frozen_param_mask), and the
 image carries no gradient, so the caller wraps the result in
-stop_gradient — no backward kernel is needed.  `vgg.py:StemBlock`
-asserts that invariant.
+stop_gradient — no backward kernel is needed.  The invariant is
+enforced at step-build time: ``train/steps.py:check_train_config``
+rejects ``stem_pallas`` with ``freeze_pretrained_layers=false`` (and
+``cli/trainval.py`` auto-disables the stem for that combination).
 
 Reference lineage: lib/model/faster_rcnn/vgg16.py:~40 (torchvision
 features[0..4]); semantics oracle-tested against lax.conv in
@@ -46,15 +48,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Conservative VMEM budget for the gate (v5e TensorCore VMEM is ~16 MiB;
+# leave headroom for Mosaic's own buffers).  Measured: 512x1024 th=8
+# needs ~11 MB and compiles; th=16/32 and 1024x2048 exceed it and fail
+# Mosaic compile — the gate must fall back BEFORE that (the config
+# contract promises auto-fallback on unsupported shapes).
+_VMEM_BUDGET_BYTES = 12 * 2**20
+
+
+def _vmem_bytes(h: int, w: int, c_in: int, c_out: int,
+                row_tile: int) -> int:
+    """Footprint estimate: double-buffered image + output blocks, plus
+    the 3-variant y1 scratch (all bf16)."""
+    img = c_in * (h + 4) * w * 2
+    scratch = 3 * (row_tile + 2) * w * c_out * 2
+    out = (row_tile // 2) * (w // 2) * c_out * 2
+    return 2 * img + scratch + 2 * out
+
+
 def supported(h: int, w: int, c_in: int, c_out: int,
               row_tile: int) -> bool:
     """Shape gate: row tiling must divide H; W must be sublane-clean
-    (multiple of 8) and even for the 2x2 pool."""
+    (multiple of 8) and even for the 2x2 pool; the working set must fit
+    the VMEM budget (huge canvases fall back to the einsum stem)."""
     return (
         c_in == 3 and c_out == 64
         and row_tile % 2 == 0
         and h % row_tile == 0
         and w % 8 == 0 and w % 2 == 0
+        and _vmem_bytes(h, w, c_in, c_out, row_tile) <= _VMEM_BUDGET_BYTES
     )
 
 

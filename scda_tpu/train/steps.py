@@ -22,9 +22,29 @@ from scda_tpu.models.faster_rcnn import FasterRCNN
 from scda_tpu.train.state import TrainState
 
 
+def check_train_config(cfg: Config) -> None:
+    """Reject config combinations that would train incorrectly.
+
+    The fused Pallas stem (``model.stem_pallas``) has no backward kernel
+    — it is valid only while conv1/conv2 are frozen (the reference
+    freezes them in every config, ref vgg16.py:~50).  With
+    ``train.freeze_pretrained_layers=false`` it would silently zero
+    their gradients; fail loudly instead (``cli/trainval.py``
+    auto-disables the stem and prints a note for CLI users).
+    """
+    if (cfg.model.stem_pallas and cfg.model.backbone == "vgg16"
+            and not cfg.train.freeze_pretrained_layers):
+        raise ValueError(
+            "model.stem_pallas requires train.freeze_pretrained_layers "
+            "(the fused stem produces no conv1/conv2 gradients); set "
+            "model.stem_pallas=false to train those layers"
+        )
+
+
 def make_train_step(model: FasterRCNN, cfg: Config,
                     mesh: Optional[Mesh] = None, donate: bool = True):
     """Build the jitted supervised train step (configs #1/#2 path)."""
+    check_train_config(cfg)
 
     def step(state: TrainState, image, im_info, gt_boxes, num_boxes,
              base_rng):

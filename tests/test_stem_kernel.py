@@ -103,6 +103,27 @@ class TestStemKernel:
         assert not supported(510, 1024, 3, 64, 8)  # H % row_tile
         assert not supported(512, 1023, 3, 64, 8)  # W % 8
         assert not supported(512, 1024, 4, 64, 8)  # C_in
+        # VMEM budget: aligned-but-huge canvases must FALL BACK, not
+        # fail Mosaic compile (native-res Cityscapes; th=16 at 512x1024
+        # is the measured compile-failure case).
+        assert not supported(1024, 2048, 3, 64, 8)
+        assert not supported(512, 1024, 3, 64, 16)
+
+    def test_incompatible_freeze_config_rejected(self):
+        """stem_pallas without frozen conv1/conv2 must fail loudly at
+        step-build time (the fused stem produces no stem gradients)."""
+        from scda_tpu.config import get_config, replace_path
+        from scda_tpu.models.faster_rcnn import build_model
+        from scda_tpu.train.steps import make_train_step
+
+        cfg = get_config("vgg16")
+        cfg = replace_path(cfg, "train.freeze_pretrained_layers", False)
+        assert cfg.model.stem_pallas  # default on -> bad combo
+        model = build_model(cfg.model)
+        with pytest.raises(ValueError, match="stem_pallas"):
+            make_train_step(model, cfg)
+        ok = replace_path(cfg, "model.stem_pallas", False)
+        make_train_step(build_model(ok.model), ok)  # builds fine
 
 
 class TestBackboneWiring:
