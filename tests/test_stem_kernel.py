@@ -126,6 +126,63 @@ class TestStemKernel:
         make_train_step(build_model(ok.model), ok)  # builds fine
 
 
+class TestMeshIntegration:
+    @pytest.mark.slow
+    def test_full_train_step_on_mesh_with_fused_stem(self, monkeypatch):
+        """The partitioned stem inside the REAL pjit train step on the
+        8-device mesh: batch sharded, params replicated, grads psummed —
+        the custom_partitioning rule must compose with in_shardings,
+        value_and_grad (stop_gradient subtree) and the optimizer."""
+        import dataclasses
+
+        from scda_tpu.config import Config, DataConfig, ModelConfig, \
+            ProposalConfig, RPNTargetConfig, ROITargetConfig, TrainConfig
+        from scda_tpu.models.faster_rcnn import build_model, init_params
+        from scda_tpu.parallel.mesh import make_mesh, replicate, \
+            shard_batch
+        from scda_tpu.train.state import create_train_state
+        from scda_tpu.train.steps import make_train_step
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(
+            stem_kernel, "vgg_stem_fused",
+            functools.partial(vgg_stem_fused, interpret=True))
+
+        cfg = Config(
+            model=ModelConfig(backbone="vgg16", num_classes=5,
+                              compute_dtype="bfloat16"),
+            train=TrainConfig(
+                batch_size=8,
+                proposal=ProposalConfig(pre_nms_top_n=64,
+                                        post_nms_top_n=16,
+                                        nms_thresh=0.7, min_size=2.0),
+                rpn_target=RPNTargetConfig(batch_size=32),
+                roi_target=ROITargetConfig(batch_size=16),
+            ),
+            data=DataConfig(image_size=(64, 96), max_gt_boxes=4),
+        )
+        model = build_model(cfg.model)
+        params = init_params(model, jax.random.key(0), (1, 64, 96, 3))
+        mesh = make_mesh()
+        state = replicate(mesh, create_train_state(cfg, params))
+        step = make_train_step(model, cfg, mesh=mesh, donate=False)
+
+        r = np.random.RandomState(0)
+        g = cfg.data.max_gt_boxes
+        gt = np.zeros((8, g, 5), np.float32)
+        gt[:, 0] = [8, 8, 40, 40, 1]
+        gt[:, 1] = [30, 20, 80, 56, 3]
+        batch = shard_batch(mesh, (
+            r.randn(8, 64, 96, 3).astype(np.float32) * 30,
+            np.tile(np.asarray([[64, 96, 1.0]], np.float32), (8, 1)),
+            gt, np.full((8,), 2, np.int32),
+        ))
+        rng = replicate(mesh, jax.random.key(7))
+        state, metrics = step(state, *batch, rng)
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(jax.device_get(state.step)) == 1
+
+
 class TestBackboneWiring:
     def test_param_tree_identical_and_outputs_match(self, rng,
                                                     monkeypatch):
