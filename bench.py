@@ -38,7 +38,6 @@ Env knobs:
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import time

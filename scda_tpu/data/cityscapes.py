@@ -250,13 +250,19 @@ def register_raw_datasets(data_root: Optional[str] = None) -> None:
     root = data_root or os.environ.get("SCDA_DATA_ROOT", "data")
     city = os.path.join(root, "Cityscapes")
     for split in ("train", "val"):
+        # Eval splits keep empty/difficult-only images (dropping them
+        # would hide false positives and inflate AP); only train mirrors
+        # the reference's filter_roidb drop — same policy as the
+        # VOC-converted registry (voc.py register loop).
+        keep = split != "train"
         register_dataset(
             f"cityscapes_raw_{split}",
-            lambda split=split: load_cityscapes_dataset(city, split))
+            lambda split=split, keep=keep: load_cityscapes_dataset(
+                city, split, keep_empty=keep))
         register_dataset(
             f"cityscapes_raw_car_{split}",
-            lambda split=split: load_cityscapes_dataset(
-                city, split, classes=CAR_ONLY_CLASSES,
+            lambda split=split, keep=keep: load_cityscapes_dataset(
+                city, split, classes=CAR_ONLY_CLASSES, keep_empty=keep,
                 name=f"cityscapes_raw_car_{split}"))
         register_dataset(
             f"foggy_cityscapes_raw_{split}",

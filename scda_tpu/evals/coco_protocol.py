@@ -79,26 +79,28 @@ def _match_image(
     det on a difficult gt is an FP, not ignored (r3 review).
     """
     d, g = ious.shape
-    order_g = np.argsort(gt_ignore, kind="stable")  # non-ignored first
     gt_taken = np.zeros(g, bool)
     det_m = np.zeros(d, bool)
     det_ig = np.zeros(d, bool)
+    if g == 0:
+        return det_m, det_ig
+    thr_eps = iou_thr - 1e-10
+    not_ignore = ~gt_ignore
+    # Per det: highest-IoU untaken candidate ABOVE threshold, with
+    # non-ignored gts taking absolute precedence over ignored ones and
+    # IoU ties going to the lowest gt index (argmax-first) — exactly
+    # the sequential pycocotools scan, with the O(G) inner loop as
+    # numpy ops (r3 review: the interpreted D x G double loop made
+    # --coco_protocol minutes-slow on real val sets).
     for di in range(d):
-        best = -1
-        best_iou = iou_thr - 1e-10
-        for gi in order_g:
-            if gt_taken[gi]:
-                continue
-            # Past this point only ignored gts remain; keep a
-            # non-ignored match rather than switching to one.
-            if best > -1 and not gt_ignore[best] and gt_ignore[gi]:
-                break
-            if ious[di, gi] < best_iou:
-                continue
-            best_iou = ious[di, gi]
-            best = gi
-        if best == -1:
+        row = ious[di]
+        cand = (row >= thr_eps) & ~gt_taken
+        if not cand.any():
             continue
+        pool = cand & not_ignore
+        if not pool.any():
+            pool = cand
+        best = int(np.argmax(np.where(pool, row, -np.inf)))
         det_m[di] = True
         det_ig[di] = gt_ignore[best]
         gt_taken[best] = True

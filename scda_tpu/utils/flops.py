@@ -24,7 +24,11 @@ from scda_tpu.models.backbones.vgg import VGG16_LAYOUT, _FROZEN_TORCH_IDX
 
 def conv_flops(h: int, w: int, cin: int, cout: int, k: int,
                stride: int = 1) -> float:
-    return 2.0 * (h // stride) * (w // stride) * cin * cout * k * k
+    # SAME-style padding (pad = k//2, the only convention used here):
+    # output extent is ceil(h/s) — floor undercounts odd extents (the
+    # 7x7 RoI head's layer4 is 4x4, not 3x3).
+    ho, wo = -(-h // stride), -(-w // stride)
+    return 2.0 * ho * wo * cin * cout * k * k
 
 
 def dense_flops(n: int, cin: int, cout: int) -> float:
@@ -56,7 +60,7 @@ def vgg16_backbone_flops(h: int, w: int,
 def _bottleneck_flops(h, w, cin, f, stride):
     fl = conv_flops(h, w, cin, f, 1)
     fl += conv_flops(h, w, f, f, 3, stride)
-    ho, wo = h // stride, w // stride
+    ho, wo = -(-h // stride), -(-w // stride)
     fl += conv_flops(ho, wo, f, f * 4, 1)
     if cin != f * 4 or stride != 1:
         fl += conv_flops(h, w, cin, f * 4, 1, stride)

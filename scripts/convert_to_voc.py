@@ -95,8 +95,14 @@ def main() -> int:
                 args.root, split, foggy_beta=args.beta,
                 keep_empty=True)
         else:
+            # Non-train splits always keep empty/difficult-only images:
+            # the materialized tree feeds evaluation, and a dropped val
+            # image can never charge false positives (the registry's
+            # keep_empty=True at load time cannot resurrect records
+            # missing from disk).
+            keep = args.keep_empty or split != "train"
             ds = load_cityscapes_dataset(args.root, split,
-                                         keep_empty=args.keep_empty)
+                                         keep_empty=keep)
         write_voc_tree(ds, args.out, split)
     return 0
 

@@ -85,6 +85,36 @@ class TestCityscapesRaw:
         assert sum(rec.difficult) == 1
         assert rec.difficult[2]
 
+    def test_raw_registry_val_keeps_difficult_only_images(
+            self, tmp_path, monkeypatch):
+        """Eval splits must NOT drop empty/difficult-only images (a
+        dropped val frame can never charge false positives — r3 review);
+        train mirrors the reference's filter_roidb drop."""
+        import json
+
+        from scda_tpu.data.cityscapes import register_raw_datasets
+        from scda_tpu.data.voc import get_dataset
+
+        root = _city_tree(tmp_path)
+        # A val frame whose only object is a group (difficult-only).
+        stem = "zurich_000000_000021"
+        _png(os.path.join(root, "leftImg8bit", "val", "zurich",
+                          f"{stem}_leftImg8bit.png"), 64, 48)
+        ann = os.path.join(root, "gtFine", "val", "zurich",
+                           f"{stem}_gtFine_polygons.json")
+        os.makedirs(os.path.dirname(ann), exist_ok=True)
+        with open(ann, "w") as f:
+            json.dump({"imgHeight": 48, "imgWidth": 64, "objects": [
+                {"label": "cargroup",
+                 "polygon": [[5, 5], [30, 5], [30, 30], [5, 30]]},
+            ]}, f)
+        register_raw_datasets(str(tmp_path))
+        val = get_dataset("cityscapes_raw_val")
+        assert [r.image_id for r in val.records] == [stem]
+        # Same frame in a train tree would be filtered (difficult-only).
+        ds_train_like = load_cityscapes_dataset(root, "val")
+        assert len(ds_train_like) == 0
+
     def test_foggy_shares_gt(self, tmp_path):
         root = _city_tree(tmp_path, foggy=True)
         clear = load_cityscapes_dataset(root, "train")

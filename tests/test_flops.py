@@ -40,6 +40,18 @@ class TestFlops:
         # Unfreezing adds exactly 2x the frozen group's forward FLOPs.
         np.testing.assert_allclose(t_all - t_frozen, 2 * fr, rtol=1e-9)
 
+    def test_resnet_head_hand_value(self):
+        """layer4 on 7x7 pooled rois: stride-2 convs output ceil(7/2)=4,
+        not floor (the r3 review caught a 44% undercount here)."""
+        b0 = (2 * 49 * 1024 * 512          # conv1 1x1 @7x7
+              + 2 * 16 * 512 * 512 * 9     # conv2 3x3 s2 -> 4x4
+              + 2 * 16 * 512 * 2048        # conv3 1x1 @4x4
+              + 2 * 16 * 1024 * 2048)      # downsample 1x1 s2 -> 4x4
+        b12 = 2 * (2 * 16 * 2048 * 512
+                   + 2 * 16 * 512 * 512 * 9
+                   + 2 * 16 * 512 * 2048)
+        assert F.resnet_head_flops(101, 300) == (b0 + b12) * 300
+
     def test_resnet_backbone_magnitude(self):
         # ResNet-101 C4 base at 512x1024 is ~150 GFLOP (well-known
         # ~7.8 GFLOP at 224^2 x (512*1024)/(224*224) scaling for the
