@@ -75,6 +75,51 @@ class TestBoxAlgebra:
         assert (c1[:, 1::2] >= 0).all() and (c1[:, 1::2] <= h - 1).all()
 
 
+class TestRoiAlignProperty:
+    """Algebraic invariants of the MXU-matmul RoI-Align (the default
+    hot path): linearity in features and constant-map invariance —
+    bilinear weights must form a partition of unity per output cell."""
+
+    H, W, C, R = 16, 24, 8, 6
+
+    def _rois(self, draw_vals):
+        b = np.asarray(draw_vals, np.float32).reshape(self.R, 4)
+        x1 = b[:, 0] * (self.W * 16 - 32)
+        y1 = b[:, 1] * (self.H * 16 - 32)
+        x2 = x1 + 16 + b[:, 2] * 120
+        y2 = y1 + 16 + b[:, 3] * 120
+        return np.stack([x1, y1,
+                         np.minimum(x2, self.W * 16 - 1),
+                         np.minimum(y2, self.H * 16 - 1)], -1)[None]
+
+    @given(vals=st.lists(st.floats(0.0, 1.0, width=32),
+                         min_size=24, max_size=24))
+    def test_constant_map_pools_to_constant(self, vals):
+        from scda_tpu.ops.roi_ops import roi_align_grouped
+
+        feat = jnp.full((1, self.H, self.W, self.C), 3.5, jnp.float32)
+        out = roi_align_grouped(feat, jnp.asarray(self._rois(vals)))
+        np.testing.assert_allclose(np.asarray(out), 3.5,
+                                   rtol=1e-5, atol=1e-5)
+
+    @given(vals=st.lists(st.floats(0.0, 1.0, width=32),
+                         min_size=24, max_size=24),
+           seed=st.integers(0, 2**31 - 1))
+    def test_linear_in_features(self, vals, seed):
+        from scda_tpu.ops.roi_ops import roi_align_grouped
+
+        r = np.random.RandomState(seed)
+        fa = r.randn(1, self.H, self.W, self.C).astype(np.float32)
+        fb = r.randn(1, self.H, self.W, self.C).astype(np.float32)
+        rois = jnp.asarray(self._rois(vals))
+        oa = np.asarray(roi_align_grouped(jnp.asarray(fa), rois))
+        ob = np.asarray(roi_align_grouped(jnp.asarray(fb), rois))
+        oab = np.asarray(roi_align_grouped(jnp.asarray(fa + 2.0 * fb),
+                                           rois))
+        np.testing.assert_allclose(oab, oa + 2.0 * ob,
+                                   rtol=1e-4, atol=1e-4)
+
+
 class TestNmsProperty:
     @given(boxes=_boxes_strategy(N, size=200.0, min_wh=5.0),
            scores=st.lists(
