@@ -107,6 +107,49 @@ def _match_image(
     return det_m, det_ig
 
 
+def _match_image_batched(
+    ious: np.ndarray,          # (D, G), det rows already score-sorted
+    gt_ignore_a: np.ndarray,   # (A, G) bool, one ignore mask per area
+    thrs: np.ndarray,          # (T,) IoU thresholds
+) -> Tuple[np.ndarray, np.ndarray]:
+    """:func:`_match_image` for ALL (area, threshold) cells in one det
+    pass.
+
+    Each (area, thr) cell is an independent greedy problem over the
+    same IoU matrix — areas only change the gt-ignore mask, thresholds
+    only the accept bar.  Batching all A*T problems onto one taken-mask
+    turns 40 interpreted det loops into one (the det loop itself — not
+    the gt scan — was the eval hot spot).  Returns (det_matched,
+    det_ignored), both (A, T, D).
+    """
+    a, g = gt_ignore_a.shape
+    d = ious.shape[0]
+    t = len(thrs)
+    det_m = np.zeros((a * t, d), bool)
+    det_ig = np.zeros((a * t, d), bool)
+    if g == 0 or d == 0:
+        return det_m.reshape(a, t, d), det_ig.reshape(a, t, d)
+    thr_eps = np.tile(thrs - 1e-10, a)[:, None]          # (A*T, 1)
+    gt_ignore = np.repeat(gt_ignore_a, t, axis=0)        # (A*T, G)
+    not_ignore = ~gt_ignore
+    gt_taken = np.zeros((a * t, g), bool)
+    prange = np.arange(a * t)
+    for di in range(d):
+        row = ious[di]                                   # (G,)
+        cand = (row >= thr_eps) & ~gt_taken              # (A*T, G)
+        pool = cand & not_ignore
+        has_pool = pool.any(axis=1)
+        pool = np.where(has_pool[:, None], pool, cand)
+        matched = pool.any(axis=1)
+        if not matched.any():
+            continue
+        best = np.argmax(np.where(pool, row, -np.inf), axis=1)
+        det_m[matched, di] = True
+        det_ig[matched, di] = gt_ignore[matched, best[matched]]
+        gt_taken[prange[matched], best[matched]] = True
+    return det_m.reshape(a, t, d), det_ig.reshape(a, t, d)
+
+
 def _per_class_area_stats(
     gt_by_image: Dict[str, Tuple[np.ndarray, np.ndarray]],
     dets: List[Tuple[str, np.ndarray, float]],
@@ -141,21 +184,23 @@ def _per_class_area_stats(
             dboxes, dscores = dboxes[order], dscores[order]
             ious = _iou_matrix(dboxes, gboxes)          # once per image
             d_areas = _box_area(dboxes)
-        for area, (lo, hi) in AREA_RANGES.items():
-            g_ig = gdiff | (g_areas < lo) | (g_areas > hi)
-            npos[area] += int((~g_ig).sum())
-            if not dlist:
-                continue
+        areas = list(AREA_RANGES.items())
+        g_ig_a = np.stack([gdiff | (g_areas < lo) | (g_areas > hi)
+                           for _, (lo, hi) in areas])        # (A, G)
+        for ai, (area, _) in enumerate(areas):
+            npos[area] += int((~g_ig_a[ai]).sum())
+        if not dlist:
+            continue
+        # One det pass covers every (area, thr) cell: areas only change
+        # the gt-ignore mask, thresholds only the accept bar, and both
+        # batch onto the matcher's problem axis.
+        m, ig = _match_image_batched(
+            ious, g_ig_a, np.asarray(IOU_THRS, np.float64))  # (A, T, D)
+        for ai, (area, (lo, hi)) in enumerate(areas):
             d_out = (d_areas < lo) | (d_areas > hi)
-            tps, igs = [], []
-            for thr in IOU_THRS:
-                m, ig = _match_image(ious, g_ig, float(thr))
-                # Unmatched dets outside the range: ignored, not FP.
-                ig = ig | (~m & d_out)
-                tps.append(m & ~ig)
-                igs.append(ig)
-            per_image[area].append(
-                (dscores, np.stack(tps), np.stack(igs)))
+            # Unmatched dets outside the range: ignored, not FP.
+            ig_a = ig[ai] | (~m[ai] & d_out[None, :])
+            per_image[area].append((dscores, m[ai] & ~ig_a, ig_a))
     return {area: (per_image[area], npos[area]) for area in AREA_RANGES}
 
 

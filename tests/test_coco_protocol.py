@@ -125,3 +125,29 @@ class TestCocoProtocol:
         ]}
         r = evaluate_coco_protocol(ds, dets)
         assert abs(r["AP"] - 0.5) < 1e-6
+
+
+class TestBatchedMatcherEquivalence:
+    def test_batched_matches_scalar_oracle(self):
+        """_match_image_batched must reproduce the readable per-(area,
+        thr) _match_image scan exactly on adversarial random inputs
+        (kept as the semantic oracle after the 8x vectorization)."""
+        from scda_tpu.evals.coco_protocol import (
+            _match_image, _match_image_batched,
+        )
+
+        rng = np.random.RandomState(7)
+        thrs = np.asarray([0.3, 0.5, 0.75, 0.9])
+        for _ in range(30):
+            d = rng.randint(0, 12)
+            g = rng.randint(0, 9)
+            # Quantized IoUs make exact ties and threshold hits common.
+            ious = rng.randint(0, 11, (d, g)) / 10.0
+            a = rng.randint(1, 4)
+            g_ig = rng.rand(a, g) < 0.4
+            bm, big = _match_image_batched(ious, g_ig, thrs)
+            for ai in range(a):
+                for ti, thr in enumerate(thrs):
+                    m, ig = _match_image(ious, g_ig[ai], float(thr))
+                    np.testing.assert_array_equal(bm[ai, ti], m)
+                    np.testing.assert_array_equal(big[ai, ti], ig)
