@@ -16,6 +16,13 @@ import os
 # conftest runs, so setting os.environ["JAX_PLATFORMS"] alone is too late —
 # jax.config.update works as long as no backend has initialised yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Persistent XLA compile cache: the CLI smoke tests spawn subprocesses
+# that each recompile the train/eval programs from scratch; the cache
+# (keyed by HLO hash — safe across code edits) cuts warm suite runs by
+# ~30% on the compile-heavy tests.  Env var (not jax.config) so child
+# processes inherit it.  CPU-only: the TPU relay must NOT see a
+# persistent cache (it hangs the backend — .claude/skills/verify).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/scda_jax_cache")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
