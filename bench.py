@@ -305,7 +305,38 @@ METRIC_NAMES = {
 }
 
 
+def _preflight(
+    timeout_s: int = int(os.environ.get("SCDA_BENCH_PREFLIGHT_S", "600")),
+) -> bool:
+    """Fail fast if the device backend is down (the axon relay can die
+    and leave backend init hanging forever — r3 outage); a visible
+    error JSON beats a silently hung bench run."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if out.returncode == 0:
+            return True
+        reason = (out.stderr or out.stdout).strip().splitlines()[-1:]
+        reason = reason[0] if reason else "backend init failed"
+    except subprocess.TimeoutExpired:
+        reason = f"backend init timed out after {timeout_s}s"
+    print(json.dumps({
+        "metric": HEADLINE_METRIC, "value": 0.0, "unit": "images/sec",
+        "vs_baseline": 0.0, "error": f"device backend unavailable: "
+                                     f"{reason[:300]}",
+    }), flush=True)
+    return False
+
+
 def main() -> None:
+    if not _preflight():
+        raise SystemExit(1)
     want = os.environ.get("SCDA_BENCH_CONFIGS", "")
     names = ([n.strip() for n in want.split(",") if n.strip()] if want
              else list(CONFIG_RUNNERS))
