@@ -31,6 +31,11 @@ def parse_args(argv=None):
                         "state dict; converted in-process). Pair with "
                         "--set model.pooling_mode align_legacy for the "
                         "reference RoIAlign semantics")
+    p.add_argument("--allow_unsafe_pickle", action="store_true",
+                   help="permit full-pickle torch.load for legacy "
+                        ".pth files that fail weights_only=True (runs "
+                        "arbitrary code from the file — only for "
+                        "checkpoints you trust)")
     p.add_argument("--bs", type=int, default=1)
     p.add_argument("--use_07_metric", action="store_true")
     p.add_argument("--iou_sweep", action="store_true",
@@ -144,7 +149,8 @@ def main(argv=None) -> int:
 
         params = load_reference_checkpoint(
             params, args.torch_checkpoint, cfg.model.backbone,
-            num_anchors=cfg.anchors.num_anchors)
+            num_anchors=cfg.anchors.num_anchors,
+            allow_unsafe_pickle=args.allow_unsafe_pickle)
         print(f"loaded reference torch checkpoint "
               f"{args.torch_checkpoint}")
         if cfg.model.pooling_mode != "align_legacy":

@@ -59,6 +59,11 @@ def parse_args(argv=None):
                         "reference-trained torch .pth (jwyang/SCDA "
                         "layout) — e.g. adapt from a reference "
                         "source-only checkpoint")
+    p.add_argument("--allow_unsafe_pickle", action="store_true",
+                   help="permit full-pickle torch.load for legacy "
+                        ".pth files that fail weights_only=True (runs "
+                        "arbitrary code from the file — only for "
+                        "checkpoints you trust)")
     p.add_argument("--num_devices", type=int, default=0,
                    help="mesh size (0 = all visible devices)")
     p.add_argument("--use_tfb", action="store_true",
@@ -252,15 +257,17 @@ def main(argv=None) -> int:
     if args.pretrained:
         from scda_tpu.train.torch_convert import load_pretrained_backbone
 
-        params = load_pretrained_backbone(params, args.pretrained,
-                                          cfg.model.backbone)
+        params = load_pretrained_backbone(
+            params, args.pretrained, cfg.model.backbone,
+            allow_unsafe_pickle=args.allow_unsafe_pickle)
         print(f"loaded pretrained backbone from {args.pretrained}")
     if args.torch_detector:
         from scda_tpu.train.torch_convert import load_reference_checkpoint
 
         params = load_reference_checkpoint(
             params, args.torch_detector, cfg.model.backbone,
-            num_anchors=cfg.anchors.num_anchors)
+            num_anchors=cfg.anchors.num_anchors,
+            allow_unsafe_pickle=args.allow_unsafe_pickle)
         print(f"initialised full detector from reference checkpoint "
               f"{args.torch_detector}")
 

@@ -7,10 +7,13 @@ is a fixed-iteration Lloyd's algorithm inside jit: a ``lax.fori_loop``
 over a handful of iterations on at most a few hundred points.  Shapes are
 static; invalid points are masked out of the assignment and the update.
 
-Initialisation is deterministic (quantile-spread over the valid points in
-a Hilbert-ish score order) so training is reproducible under jit — the
-reference's sklearn ``k-means++`` randomness is replaced by seeding from
-the provided rng key when ``key`` is given.
+Initialisation is k-means++-style (each centre drawn ∝ squared distance
+to the nearest already-chosen centre — the same policy as the reference's
+sklearn default), sampled via the Gumbel-max trick when ``key`` is given
+and greedy farthest-point when deterministic.  Either way a centre cannot
+repeat an already-chosen point while distinct valid points remain, so
+K=9 over a few hundred proposal centres cannot start with duplicate
+centres and freeze empty clusters.
 """
 
 from __future__ import annotations
@@ -21,20 +24,44 @@ from jax import lax
 
 
 def _init_centers(points, mask, k, key):
-    """Pick K initial centres among valid points: random valid points if a
-    key is given, else evenly strided valid points."""
+    """k-means++-style spread init over valid points.
+
+    First centre: a uniform-random valid point (``key`` given) or the
+    first valid point.  Each subsequent centre is drawn with probability
+    proportional to its squared distance to the nearest chosen centre
+    (Gumbel-max sampling), or greedily farthest when deterministic.
+    Already-chosen points have weight zero, so duplicates only occur when
+    there are fewer distinct valid points than K (then any valid point is
+    reused — unavoidable).
+    """
     n = points.shape[0]
-    order = jnp.argsort(~mask)  # valid points first, stable
-    num_valid = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+    neg_inf = jnp.float32(-jnp.inf)
     if key is not None:
-        u = jax.random.uniform(key, (k,))
-        pick = (u * num_valid).astype(jnp.int32)
+        k0, k1 = jax.random.split(key)
+        g0 = jax.random.gumbel(k0, (n,))
+        first = jnp.argmax(jnp.where(mask, g0, neg_inf))
+        gs = jax.random.gumbel(k1, (max(k - 1, 0), n))
     else:
-        pick = (
-            (jnp.arange(k, dtype=jnp.float32) + 0.5) / k * num_valid
-        ).astype(jnp.int32)
-    pick = jnp.clip(pick, 0, n - 1)
-    return jnp.take(points, jnp.take(order, pick), axis=0)
+        first = jnp.argmax(mask)
+        gs = jnp.zeros((max(k - 1, 0), n), jnp.float32)
+    c0 = points[first]
+    mind2_0 = jnp.sum((points - c0[None, :]) ** 2, axis=-1)
+
+    def step(mind2, g):
+        w = jnp.where(mask, mind2, 0.0)
+        score = jnp.where(w > 0, jnp.log(jnp.maximum(w, 1e-30)) + g,
+                          neg_inf)
+        # If no point has positive weight (fewer distinct valid points
+        # than K), fall back to any valid point to keep indices in range.
+        idx = jnp.where(jnp.any(w > 0), jnp.argmax(score),
+                        jnp.argmax(jnp.where(mask, g, neg_inf)))
+        c = points[idx]
+        mind2 = jnp.minimum(mind2, jnp.sum((points - c[None, :]) ** 2,
+                                           axis=-1))
+        return mind2, c
+
+    _, rest = lax.scan(step, mind2_0, gs)
+    return jnp.concatenate([c0[None, :], rest], axis=0)
 
 
 def kmeans(

@@ -56,14 +56,12 @@ def load_coco_dataset(
 
     anns_by_image: Dict[int, List[dict]] = {}
     for ann in coco.get("annotations", []):
-        if ann.get("iscrowd", 0):
-            continue
         anns_by_image.setdefault(ann["image_id"], []).append(ann)
 
     records: List[ImageRecord] = []
     for img in coco.get("images", []):
         anns = anns_by_image.get(img["id"], [])
-        boxes, labels = [], []
+        boxes, labels, crowd = [], [], []
         for a in anns:
             label = catid_to_label.get(a["category_id"])
             if label is None:
@@ -75,7 +73,17 @@ def load_coco_dataset(
             y2 = y + max(h - 1.0, 0.0)
             boxes.append([x, y, x2, y2])
             labels.append(label)
-        if not boxes and not keep_empty:
+            crowd.append(bool(a.get("iscrowd", 0)))
+        # Crowd regions stay as ignore gts (difficult=True): the
+        # training pipeline drops difficult boxes (mirroring the
+        # reference's roidb filtering), while the COCO-protocol
+        # evaluator scores detections overlapping them with crowd-IoU
+        # instead of as false positives (pycocotools semantics).
+        crowd_arr = np.asarray(crowd, bool)
+        # An image whose only annotations are crowds counts as empty for
+        # the load-time filter (same images dropped as before, when
+        # crowds were stripped entirely).
+        if not keep_empty and (not boxes or crowd_arr.all()):
             continue
         records.append(
             ImageRecord(
@@ -85,7 +93,8 @@ def load_coco_dataset(
                 height=int(img["height"]),
                 boxes=np.asarray(boxes, np.float32).reshape(-1, 4),
                 labels=np.asarray(labels, np.int32),
-                difficult=np.zeros((len(labels),), bool),
+                difficult=crowd_arr.copy(),
+                iscrowd=crowd_arr,
             )
         )
         if max_images and len(records) >= max_images:

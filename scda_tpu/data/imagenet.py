@@ -96,6 +96,12 @@ def load_imagenet_det_dataset(
         reference's devkit meta_det ordering, which fixes label ids).
       synset_map: wnid -> human-readable class name (default: read from
         ``root/meta_det.txt`` if present; else names = wnids).
+
+    Compatibility note (r3): the default ordering changed from
+    ``sorted(wnids)`` to meta_det FILE order to match the reference's
+    devkit label ids.  Checkpoints or cached artifacts produced under
+    the old sorted ordering have silently permuted label ids — pass
+    ``wnids=sorted(...)`` explicitly to reproduce them.
     """
     if synset_map is None:
         meta = os.path.join(root, "meta_det.txt")

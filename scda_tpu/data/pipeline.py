@@ -292,13 +292,41 @@ class CanvasDiskCache:
     def _path(self, record: ImageRecord) -> str:
         try:
             st = os.stat(record.image_path)
-            stat_tag = f"{st.st_size}:{int(st.st_mtime)}"
+            # Nanosecond mtime + inode: a same-size rewrite within the
+            # same second, or a file swapped in by rename, cannot serve
+            # stale pixels (1-second st_mtime granularity was enough to
+            # alias under test/converter workflows).
+            stat_tag = f"{st.st_size}:{st.st_mtime_ns}:{st.st_ino}"
         except OSError:
             stat_tag = "?"
         key = hashlib.sha1(
             f"{record.image_path}:{stat_tag}:{self._cfg_tag}".encode()
         ).hexdigest()
         return os.path.join(self.dir, key[:2], key + ".npy")
+
+    def sweep(self, records) -> int:
+        """Delete store entries not reachable from ``records`` under the
+        current config (superseded by a source rewrite or a config
+        change).  Returns the number of files removed.  Optional — the
+        store is content-addressed and correct without it; this bounds
+        its growth for long-lived cache directories."""
+        live = {self._path(r) for r in records}
+        removed = 0
+        for sub in os.listdir(self.dir):
+            subdir = os.path.join(self.dir, sub)
+            if not os.path.isdir(subdir):
+                continue
+            for name in os.listdir(subdir):
+                if name.endswith(".tmp.npy"):
+                    continue  # in-flight writes from another process
+                path = os.path.join(subdir, name)
+                if path not in live:
+                    try:
+                        os.unlink(path)
+                        removed += 1
+                    except OSError:
+                        pass
+        return removed
 
     def get(self, record: ImageRecord) -> Optional[np.ndarray]:
         path = self._path(record)

@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -54,6 +54,12 @@ class ImageRecord:
     boxes: np.ndarray        # (G, 4) float32
     labels: np.ndarray       # (G,) int32
     difficult: np.ndarray    # (G,) bool
+    # COCO crowd regions (always also difficult=True): excluded from
+    # training and from npos like difficult boxes, but the COCO-protocol
+    # evaluator scores overlapping detections with crowd-IoU
+    # (intersection / det-area, rematch allowed) instead of FP.
+    # None means "no crowd annotations" (VOC-family datasets).
+    iscrowd: Optional[np.ndarray] = None  # (G,) bool or None
 
 
 @dataclass

@@ -22,10 +22,11 @@ Faithful to pycocotools semantics:
   * Per-category accumulation; categories without gt are excluded from
     the mean (pycocotools' -1 convention).
 
-Differences by design: crowd-IoU (intersection/det-area) is not needed
-because the COCO adapter (data/coco.py) drops iscrowd annotations at
-load, mirroring how the reference's roidb prep filters them for
-training; the ``difficult`` flag plays the ignore role.
+Crowd regions (``iscrowd`` gts, kept by data/coco.py as ignore gts)
+use pycocotools' crowd semantics: IoU against a crowd gt is
+intersection / det-area, and a crowd gt may absorb any number of
+detections (it is exempt from the matched-once rule) — detections
+overlapping a crowd are IGNORED, never false positives.
 """
 
 from __future__ import annotations
@@ -52,8 +53,13 @@ def _box_area(boxes: np.ndarray) -> np.ndarray:
         boxes[:, 3] - boxes[:, 1], 0.0)
 
 
-def _iou_matrix(dets: np.ndarray, gts: np.ndarray) -> np.ndarray:
-    """(D, G) IoU, COCO box convention (no +1)."""
+def _iou_matrix(dets: np.ndarray, gts: np.ndarray,
+                gt_crowd: np.ndarray | None = None) -> np.ndarray:
+    """(D, G) IoU, COCO box convention (no +1).
+
+    Columns where ``gt_crowd`` is True use crowd-IoU: the denominator
+    is the DETECTION area alone (pycocotools maskUtils.iou with
+    iscrowd) — "how much of the det lies inside the crowd region"."""
     if dets.size == 0 or gts.size == 0:
         return np.zeros((len(dets), len(gts)))
     ix1 = np.maximum(dets[:, None, 0], gts[None, :, 0])
@@ -61,7 +67,10 @@ def _iou_matrix(dets: np.ndarray, gts: np.ndarray) -> np.ndarray:
     ix2 = np.minimum(dets[:, None, 2], gts[None, :, 2])
     iy2 = np.minimum(dets[:, None, 3], gts[None, :, 3])
     inter = np.maximum(ix2 - ix1, 0.0) * np.maximum(iy2 - iy1, 0.0)
-    union = (_box_area(dets)[:, None] + _box_area(gts)[None, :] - inter)
+    d_area = _box_area(dets)[:, None]
+    union = d_area + _box_area(gts)[None, :] - inter
+    if gt_crowd is not None and gt_crowd.any():
+        union = np.where(gt_crowd[None, :], d_area, union)
     return inter / np.maximum(union, 1e-12)
 
 
@@ -69,14 +78,16 @@ def _match_image(
     ious: np.ndarray,          # (D, G), det rows already score-sorted
     gt_ignore: np.ndarray,     # (G,) bool (difficult OR out of area)
     iou_thr: float,
+    gt_crowd: np.ndarray | None = None,  # (G,) bool
 ) -> Tuple[np.ndarray, np.ndarray]:
     """pycocotools evaluateImg matching for one (image, class, thr).
 
     Returns (det_matched (D,) bool, det_ignored (D,) bool) — ignored
     dets matched an ignored gt.  Gts are visited non-ignored first.
-    A matched gt is NEVER rematched (pycocotools exempts only crowd
-    gts, and the COCO adapter drops crowds at load) — so a duplicate
-    det on a difficult gt is an FP, not ignored (r3 review).
+    A matched gt is never rematched EXCEPT crowd gts (pycocotools
+    ``if gtm[tind,gind]>0 and not iscrowd[gind]: continue``): a crowd
+    may absorb any number of dets, each becoming ignored; a duplicate
+    det on a non-crowd difficult gt is an FP, not ignored (r3 review).
     """
     d, g = ious.shape
     gt_taken = np.zeros(g, bool)
@@ -84,6 +95,8 @@ def _match_image(
     det_ig = np.zeros(d, bool)
     if g == 0:
         return det_m, det_ig
+    crowd = (np.zeros(g, bool) if gt_crowd is None
+             else np.asarray(gt_crowd, bool))
     thr_eps = iou_thr - 1e-10
     not_ignore = ~gt_ignore
     # Per det: highest-IoU untaken candidate ABOVE threshold, with
@@ -94,7 +107,7 @@ def _match_image(
     # --coco_protocol minutes-slow on real val sets).
     for di in range(d):
         row = ious[di]
-        cand = (row >= thr_eps) & ~gt_taken
+        cand = (row >= thr_eps) & (~gt_taken | crowd)
         if not cand.any():
             continue
         pool = cand & not_ignore
@@ -111,6 +124,7 @@ def _match_image_batched(
     ious: np.ndarray,          # (D, G), det rows already score-sorted
     gt_ignore_a: np.ndarray,   # (A, G) bool, one ignore mask per area
     thrs: np.ndarray,          # (T,) IoU thresholds
+    gt_crowd: np.ndarray | None = None,  # (G,) bool
 ) -> Tuple[np.ndarray, np.ndarray]:
     """:func:`_match_image` for ALL (area, threshold) cells in one det
     pass.
@@ -129,6 +143,8 @@ def _match_image_batched(
     det_ig = np.zeros((a * t, d), bool)
     if g == 0 or d == 0:
         return det_m.reshape(a, t, d), det_ig.reshape(a, t, d)
+    crowd = (np.zeros(g, bool) if gt_crowd is None
+             else np.asarray(gt_crowd, bool))
     thr_eps = np.tile(thrs - 1e-10, a)[:, None]          # (A*T, 1)
     gt_ignore = np.repeat(gt_ignore_a, t, axis=0)        # (A*T, G)
     not_ignore = ~gt_ignore
@@ -136,7 +152,9 @@ def _match_image_batched(
     prange = np.arange(a * t)
     for di in range(d):
         row = ious[di]                                   # (G,)
-        cand = (row >= thr_eps) & ~gt_taken              # (A*T, G)
+        # Crowd gts never block: pycocotools exempts iscrowd gts from
+        # the matched-once rule.
+        cand = (row >= thr_eps) & (~gt_taken | crowd[None, :])
         pool = cand & not_ignore
         has_pool = pool.any(axis=1)
         pool = np.where(has_pool[:, None], pool, cand)
@@ -174,7 +192,10 @@ def _per_class_area_stats(
     per_image = {area: [] for area in AREA_RANGES}
     npos = {area: 0 for area in AREA_RANGES}
 
-    for img, (gboxes, gdiff) in gt_by_image.items():
+    for img, gt in gt_by_image.items():
+        gboxes, gdiff = gt[0], gt[1]
+        gcrowd = gt[2] if len(gt) > 2 and gt[2] is not None \
+            else np.zeros(len(gboxes), bool)
         g_areas = _box_area(gboxes)
         dlist = det_by_img.get(img, [])
         if dlist:
@@ -182,7 +203,7 @@ def _per_class_area_stats(
             dscores = np.asarray([d[1] for d in dlist], np.float64)
             order = np.argsort(-dscores, kind="stable")[:cap]
             dboxes, dscores = dboxes[order], dscores[order]
-            ious = _iou_matrix(dboxes, gboxes)          # once per image
+            ious = _iou_matrix(dboxes, gboxes, gcrowd)  # once per image
             d_areas = _box_area(dboxes)
         areas = list(AREA_RANGES.items())
         g_ig_a = np.stack([gdiff | (g_areas < lo) | (g_areas > hi)
@@ -195,7 +216,8 @@ def _per_class_area_stats(
         # the gt-ignore mask, thresholds only the accept bar, and both
         # batch onto the matcher's problem axis.
         m, ig = _match_image_batched(
-            ious, g_ig_a, np.asarray(IOU_THRS, np.float64))  # (A, T, D)
+            ious, g_ig_a, np.asarray(IOU_THRS, np.float64),
+            gcrowd)                                          # (A, T, D)
         for ai, (area, (lo, hi)) in enumerate(areas):
             d_out = (d_areas < lo) | (d_areas > hi)
             # Unmatched dets outside the range: ignored, not FP.
@@ -267,9 +289,12 @@ def evaluate_coco_protocol(
         gt_by_image = {}
         for rec in dataset.records:
             sel = rec.labels == (ci + 1)
+            crowd = getattr(rec, "iscrowd", None)
             gt_by_image[rec.image_id] = (
                 np.asarray(rec.boxes[sel], np.float64),
                 np.asarray(rec.difficult[sel], bool),
+                np.asarray(crowd[sel], bool) if crowd is not None
+                else None,
             )
         dets = all_dets.get(cls, [])
         stats = _per_class_area_stats(gt_by_image, dets)
@@ -294,7 +319,9 @@ def evaluate_coco_protocol(
             else:
                 ti = int(np.argmin(np.abs(IOU_THRS - thr)))
                 vals.append(cell[ti])
-        return float(np.mean(vals)) if vals else 0.0
+        # -1 is pycocotools' "no gt in this cell" sentinel — distinct
+        # from a genuinely-zero AP (ADVICE r3).
+        return float(np.mean(vals)) if vals else -1.0
 
     md = MAX_DETS[-1]
     return {

@@ -91,7 +91,10 @@ def eval_class(
             continue
         gboxes, gdiff = gt_by_image[img]
         ious = _iou_one_to_many(det_boxes[d], gboxes)
-        if ious.size and ious.max() >= ovthresh:
+        # Strict > matches the canonical protocol (ref voc_eval.py:~160
+        # ``if ovmax > ovthresh``): a detection at exactly IoU==ovthresh
+        # is a false positive, not a match.
+        if ious.size and ious.max() > ovthresh:
             j = int(ious.argmax())
             if gdiff[j]:
                 pass  # difficult: ignore entirely

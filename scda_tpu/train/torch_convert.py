@@ -133,14 +133,28 @@ def _merge(dst: Dict[str, Any], src: Mapping[str, Any], path: str = ""):
 
 
 def load_pretrained_backbone(
-    params: Dict[str, Any], checkpoint_path: str, backbone: str
+    params: Dict[str, Any], checkpoint_path: str, backbone: str,
+    allow_unsafe_pickle: bool = False,
 ) -> Dict[str, Any]:
     """Merge a torch ``.pth`` backbone checkpoint into initialised flax
-    params (RPN/RCNN heads keep their fresh init — ref _init_modules)."""
+    params (RPN/RCNN heads keep their fresh init — ref _init_modules).
+
+    ``weights_only=True`` by default — see load_reference_checkpoint."""
     import torch
 
-    sd = torch.load(checkpoint_path, map_location="cpu",
-                    weights_only=False)
+    try:
+        sd = torch.load(checkpoint_path, map_location="cpu",
+                        weights_only=True)
+    except Exception as e:
+        if not allow_unsafe_pickle:
+            raise RuntimeError(
+                f"{checkpoint_path} is not loadable with "
+                "weights_only=True (it pickles non-tensor objects). "
+                "If you trust this file, pass "
+                "allow_unsafe_pickle=True / --allow_unsafe_pickle."
+            ) from e
+        sd = torch.load(checkpoint_path, map_location="cpu",
+                        weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     if "state_dict" in sd and isinstance(sd["state_dict"], dict):
@@ -371,15 +385,33 @@ def export_reference_detector(
 
 def load_reference_checkpoint(
     params: Dict[str, Any], checkpoint_path: str, backbone: str,
-    num_anchors: int = 9,
+    num_anchors: int = 9, allow_unsafe_pickle: bool = False,
 ) -> Dict[str, Any]:
     """Load a full reference-trained ``.pth`` (the layout
     ``save_checkpoint`` writes, ref net_utils.py: ``{'model': ...}``)
-    into initialised params — every detector weight is replaced."""
+    into initialised params — every detector weight is replaced.
+
+    Loads with ``weights_only=True`` by default: reference-layout
+    checkpoints are plain tensor/dict payloads, and these files come
+    from outside this framework, so arbitrary-pickle execution is an
+    attack vector.  ``allow_unsafe_pickle=True`` opts into the legacy
+    full-pickle path for checkpoints that genuinely need it.
+    """
     import torch
 
-    payload = torch.load(checkpoint_path, map_location="cpu",
-                         weights_only=False)
+    try:
+        payload = torch.load(checkpoint_path, map_location="cpu",
+                             weights_only=True)
+    except Exception as e:
+        if not allow_unsafe_pickle:
+            raise RuntimeError(
+                f"{checkpoint_path} is not loadable with "
+                "weights_only=True (it pickles non-tensor objects). "
+                "If you trust this file, pass "
+                "allow_unsafe_pickle=True / --allow_unsafe_pickle."
+            ) from e
+        payload = torch.load(checkpoint_path, map_location="cpu",
+                             weights_only=False)
     sd = payload.get("model", payload) if isinstance(payload, dict) \
         else payload
     if hasattr(sd, "state_dict"):

@@ -59,8 +59,10 @@ class TestCocoProtocol:
         assert r["AP_small"] == 1.0
         assert r["AP_large"] == 0.0
         assert r["AR_small"] == 1.0 and r["AR_large"] == 0.0
-        # medium: no gt -> excluded, reported 0 by convention
-        assert r["AP_medium"] == 0.0
+        # medium: no gt anywhere -> pycocotools' -1 sentinel, distinct
+        # from a genuinely-zero AP (ADVICE r3)
+        assert r["AP_medium"] == -1.0
+        assert r["AR_medium"] == -1.0
         # area=all sees 1 of 2 found at perfect precision: AP ~ 0.5
         assert abs(r["AP"] - 0.5) < 0.01
 
@@ -127,6 +129,86 @@ class TestCocoProtocol:
         assert abs(r["AP"] - 0.5) < 1e-6
 
 
+def _rec_crowd(image_id, boxes, labels, crowd, wh=(200, 200)):
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+    labels = np.asarray(labels, np.int32)
+    crowd = np.asarray(crowd, bool)
+    return ImageRecord(
+        image_id=image_id, image_path="", width=wh[0], height=wh[1],
+        boxes=boxes, labels=labels, difficult=crowd.copy(),
+        iscrowd=crowd,
+    )
+
+
+class TestCrowdSemantics:
+    """pycocotools iscrowd handling: crowd-IoU (intersection/det-area)
+    and rematch-allowed (a crowd absorbs any number of dets)."""
+
+    def test_det_inside_crowd_is_ignored_not_fp(self):
+        # A small det fully inside a big crowd region has tiny
+        # box-IoU (~0.01) but crowd-IoU 1.0 -> ignored, so the
+        # remaining perfect det keeps AP at 1.
+        ds = _ds([_rec_crowd("a",
+                             [[0, 0, 50, 50], [100, 100, 199, 199]],
+                             [1, 1], [False, True])])
+        dets = {"thing": [
+            ("a", np.array([140, 140, 150, 150.0]), 0.95),  # in crowd
+            ("a", np.array([0, 0, 50, 50.0]), 0.9),
+        ]}
+        r = evaluate_coco_protocol(ds, dets)
+        assert r["AP"] == 1.0
+
+    def test_crowd_absorbs_multiple_dets(self):
+        # TWO dets inside the crowd: both ignored (rematch allowed) —
+        # with the matched-once rule the second would be an FP and AP
+        # would drop to ~0.5.
+        ds = _ds([_rec_crowd("a",
+                             [[0, 0, 50, 50], [100, 100, 199, 199]],
+                             [1, 1], [False, True])])
+        dets = {"thing": [
+            ("a", np.array([110, 110, 130, 130.0]), 0.95),
+            ("a", np.array([150, 150, 180, 180.0]), 0.93),
+            ("a", np.array([0, 0, 50, 50.0]), 0.9),
+        ]}
+        r = evaluate_coco_protocol(ds, dets)
+        assert r["AP"] == 1.0
+
+    def test_crowd_excluded_from_npos(self):
+        # Crowd gt contributes no recall mass: a single perfect det on
+        # the real gt reaches AR 1.0 even though the crowd is unmatched.
+        ds = _ds([_rec_crowd("a",
+                             [[0, 0, 50, 50], [100, 100, 199, 199]],
+                             [1, 1], [False, True])])
+        dets = {"thing": [("a", np.array([0, 0, 50, 50.0]), 0.9)]}
+        r = evaluate_coco_protocol(ds, dets)
+        assert r["AR@100"] == 1.0
+
+    def test_det_outside_crowd_still_fp(self):
+        # Crowd handling must not launder genuine false positives.
+        ds = _ds([_rec_crowd("a",
+                             [[0, 0, 50, 50], [100, 100, 199, 199]],
+                             [1, 1], [False, True])])
+        dets = {"thing": [
+            ("a", np.array([60, 60, 90, 90.0]), 0.95),  # overlaps nothing
+            ("a", np.array([0, 0, 50, 50.0]), 0.9),
+        ]}
+        r = evaluate_coco_protocol(ds, dets)
+        assert abs(r["AP50"] - 0.5) < 1e-6
+
+    def test_non_crowd_gt_still_matched_once(self):
+        # Crowd exemption must not leak to ordinary gts: duplicate det
+        # on a real gt remains an FP.
+        ds = _ds([_rec_crowd("a", [[0, 0, 50, 50]], [1], [False])])
+        dets = {"thing": [
+            ("a", np.array([0, 0, 50, 50.0]), 0.95),
+            ("a", np.array([0, 0, 50, 50.0]), 0.9),  # duplicate -> FP
+        ]}
+        r = evaluate_coco_protocol(ds, dets)
+        assert abs(r["AP50"] - 1.0) < 1e-6  # envelope: TP first
+        # precision tail 0.5 shows the FP counted
+        assert abs(r["AR@100"] - 1.0) < 1e-6
+
+
 class TestBatchedMatcherEquivalence:
     def test_batched_matches_scalar_oracle(self):
         """_match_image_batched must reproduce the readable per-(area,
@@ -145,9 +227,14 @@ class TestBatchedMatcherEquivalence:
             ious = rng.randint(0, 11, (d, g)) / 10.0
             a = rng.randint(1, 4)
             g_ig = rng.rand(a, g) < 0.4
-            bm, big = _match_image_batched(ious, g_ig, thrs)
+            # Crowds are always ignored gts (mirrors the evaluator:
+            # difficult is set for every crowd).
+            crowd = (rng.rand(g) < 0.3) & (g_ig.all(axis=0))
+            g_ig = g_ig | crowd[None, :]
+            bm, big = _match_image_batched(ious, g_ig, thrs, crowd)
             for ai in range(a):
                 for ti, thr in enumerate(thrs):
-                    m, ig = _match_image(ious, g_ig[ai], float(thr))
+                    m, ig = _match_image(ious, g_ig[ai], float(thr),
+                                         crowd)
                     np.testing.assert_array_equal(bm[ai, ti], m)
                     np.testing.assert_array_equal(big[ai, ti], ig)

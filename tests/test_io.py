@@ -396,7 +396,7 @@ class TestCocoLoader:
                 {"image_id": 1, "category_id": 3, "bbox": [2, 2, 8, 8],
                  "iscrowd": 0},
                 {"image_id": 2, "category_id": 7, "bbox": [0, 0, 30, 30],
-                 "iscrowd": 1},  # crowd: dropped
+                 "iscrowd": 1},  # crowd: kept as ignore gt
             ],
         }
         ann_path = os.path.join(tmp_path, "instances.json")
@@ -406,13 +406,21 @@ class TestCocoLoader:
         ds = load_coco_dataset(ann_path, img_dir, name="test_coco")
         # categories id-sorted: person (id 3) -> label 1, car (id 7) -> 2
         assert ds.classes == ("person", "car")
-        assert len(ds) == 1  # image 2 only had a crowd ann -> dropped
+        assert len(ds) == 1  # image 2 is crowd-only -> counts as empty
         rec = ds.records[0]
         assert rec.labels.tolist() == [2, 1]
         np.testing.assert_allclose(rec.boxes[0], [10, 5, 29, 16])
+        assert rec.iscrowd.tolist() == [False, False]
 
         ds2 = load_coco_dataset(ann_path, img_dir, keep_empty=True)
         assert len(ds2) == 2
+        # Crowd annotations are retained as ignore gts (difficult +
+        # iscrowd), not stripped: the COCO-protocol evaluator needs
+        # them for crowd-IoU scoring.
+        rec2 = next(r for r in ds2.records if r.image_id == "2")
+        assert rec2.boxes.shape == (1, 4)
+        assert rec2.difficult.tolist() == [True]
+        assert rec2.iscrowd.tolist() == [True]
 
 
 class TestPreMarkerScdaCheckpoint:

@@ -295,6 +295,53 @@ class TestCanvasDiskCache:
         second = make_example(rec, cfg, disk_cache=cache)
         assert not np.array_equal(first[0], second[0])
 
+    def test_same_second_same_size_rewrite_invalidates(self, tmp_path):
+        # The key uses st_mtime_ns + st_ino: a same-byte-size rewrite
+        # with a forced identical whole-second mtime must still miss
+        # (the old size+int(mtime) key aliased here — ADVICE r3).
+        from scda_tpu.data.pipeline import CanvasDiskCache
+
+        cfg = self._cfg(tmp_path)
+        rec = _record(tmp_path, "d", 60, 90, seed=6)
+        cache = CanvasDiskCache(cfg.canvas_cache_dir, cfg)
+        st0 = os.stat(rec.image_path)
+        first = make_example(rec, cfg, disk_cache=cache)
+        # np.save of same-shape u8 content -> same byte size; pin the
+        # same integer-second mtime with a distinct nanosecond part.
+        _write_png(rec.image_path, 60, 90, seed=77)
+        base_s = int(st0.st_mtime)
+        os.utime(rec.image_path,
+                 ns=(base_s * 10**9 + 12345, base_s * 10**9 + 12345))
+        st1 = os.stat(rec.image_path)
+        if st1.st_size == st0.st_size:  # alias precondition holds
+            second = make_example(rec, cfg, disk_cache=cache)
+            assert not np.array_equal(first[0], second[0])
+
+    def test_sweep_removes_superseded_entries(self, tmp_path):
+        from scda_tpu.data.pipeline import CanvasDiskCache
+
+        cfg = self._cfg(tmp_path)
+        rec = _record(tmp_path, "e", 60, 90, seed=7)
+        cache = CanvasDiskCache(cfg.canvas_cache_dir, cfg)
+        make_example(rec, cfg, disk_cache=cache)
+        # Supersede: rewrite source -> old entry becomes unreachable.
+        _write_png(rec.image_path, 60, 90, seed=88)
+        os.utime(rec.image_path, (1e9, 1e9))
+        make_example(rec, cfg, disk_cache=cache)
+
+        def count():
+            return sum(
+                n.endswith(".npy") and not n.endswith(".tmp.npy")
+                for _, _, names in os.walk(cfg.canvas_cache_dir)
+                for n in names)
+
+        assert count() == 2
+        removed = cache.sweep([rec])
+        assert removed == 1
+        assert count() == 1
+        # The live entry survives: warm read still works.
+        assert cache.get(rec) is not None
+
     def test_loader_uses_disk_cache(self, tmp_path):
         cfg = self._cfg(tmp_path)
         ds = _dataset(tmp_path, [(50, 80), (48, 72)])

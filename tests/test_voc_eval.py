@@ -8,7 +8,8 @@ golden values.
 
 import numpy as np
 
-from scda_tpu.evals.voc_eval import ClassEval, eval_class, voc_ap
+from scda_tpu.evals.voc_eval import (ClassEval, _iou_one_to_many,
+                                     eval_class, voc_ap)
 
 
 class TestVocAp:
@@ -72,6 +73,24 @@ class TestEvalClass:
                         np.array([[50.0, 50, 60, 60]]), np.array([0.9]))
         assert ce.ap == 0.0
         assert ce.precision[-1] == 0.0
+
+    def test_exact_threshold_tie_is_fp(self):
+        # Canonical protocol uses strict `ovmax > ovthresh`
+        # (ref voc_eval.py:~160): a detection at exactly IoU == 0.5 is
+        # a false positive.  Boxes use the +1 convention, so gt
+        # [0,0,9,9] (area 100) vs det [0,0,9,4] (area 50, fully inside)
+        # has IoU exactly 50/100 = 0.5.
+        gt = {"im1": (np.array([[0.0, 0, 9, 9]]), np.array([False]))}
+        det = np.array([[0.0, 0, 9, 4]])
+        iou = _iou_one_to_many(det[0], gt["im1"][0])
+        assert iou[0] == 0.5  # the fixture really is a tie
+        ce = eval_class(gt, ["im1"], det, np.array([0.9]), ovthresh=0.5)
+        assert ce.ap == 0.0
+        assert ce.precision[-1] == 0.0
+        # ...and just above the threshold it matches.
+        det2 = np.array([[0.0, 0, 9, 5]])  # IoU 60/100 = 0.6
+        ce2 = eval_class(gt, ["im1"], det2, np.array([0.9]), ovthresh=0.5)
+        assert ce2.ap == 1.0
 
     def test_unknown_image_is_fp(self):
         ce = eval_class(self.gt(), ["im_unknown"],
