@@ -262,6 +262,12 @@ def _inject_heads(params, rng, in_dim, num_classes):
 class TestFullNetworkParity:
     """End-to-end torch oracle vs converted flax network, f32."""
 
+    # slow: ~99 s on the 1-core CI host (full-size fc6/fc7 weights both
+    # frameworks + CPU compile) — the heaviest single test in the suite.
+    # Fast-suite coverage of the same path is kept by
+    # TestReferenceCheckpointParity::test_full_reference_vgg16_checkpoint
+    # (jwyang-layout end-to-end, ~52 s).
+    @pytest.mark.slow
     def test_vgg16_full_network(self, rng):
         sd = _make_vgg16_state(rng)
         mc = _flax_cfg("vgg16")
