@@ -285,10 +285,12 @@ CONFIG_RUNNERS = {
     "train_bs8": lambda: bench_train(8),
     "train_bs16": lambda: bench_train(16),
     "scda_bs1": lambda: _bench_scda(car=False),
-    "scda_bs8": lambda: _bench_scda(car=False, batch_size=8),
     "scda_car": lambda: _bench_scda(car=True),
     "res101_ms": lambda: bench_inference(
         1, preset="res101", multiscale_roi=True),
+    # Non-BASELINE extra LAST: if the capture window closes early, the
+    # five BASELINE configs above are already persisted/emitted.
+    "scda_bs8": lambda: _bench_scda(car=False, batch_size=8),
 }
 
 def _flops_per_image(name: str) -> float:
