@@ -104,6 +104,13 @@ class ModelConfig:
     # a TPU in bf16 on supported shapes; CPU/f32/odd shapes fall back to
     # the stacked-27 einsum + lax.conv path.
     stem_pallas: bool = True
+    # Fused Pallas ResNet bottleneck chain (N identity blocks with the
+    # residual stream VMEM-resident — ops/pallas/bottleneck_kernel.py).
+    # Auto-applies only when tracing for a TPU in bf16 on shapes whose
+    # map fits VMEM (layer3 at the production canvas); other stages and
+    # CPU/f32 keep the per-block XLA path.  Trainable (custom_vjp
+    # backward remats through plain XLA ops).
+    bottleneck_pallas: bool = True
     class_agnostic: bool = False
     truncated_init: bool = False     # ref TRAIN.TRUNCATED
     compute_dtype: str = "bfloat16"  # MXU-native matmul/conv dtype

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -88,16 +89,101 @@ class Bottleneck(nn.Module):
         return nn.relu(out + residual)
 
 
+class _ConvKernelParams(nn.Module):
+    """Parameter-only twin of ``nn.Conv(..., use_bias=False)`` — declares
+    the identical {kernel} tree (same name, shape, init) so the fused
+    bottleneck chain can swap in without touching checkpoints/converters."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _BNParams(nn.Module):
+    """Parameter-only twin of :class:`FrozenBatchNorm`."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        f = self.features
+        return {
+            "scale": self.param("scale", nn.initializers.ones, (f,),
+                                jnp.float32),
+            "bias": self.param("bias", nn.initializers.zeros, (f,),
+                               jnp.float32),
+            "mean": self.param("mean", nn.initializers.zeros, (f,),
+                               jnp.float32),
+            "var": self.param("var", nn.initializers.ones, (f,),
+                              jnp.float32),
+        }
+
+
+class _BottleneckParams(nn.Module):
+    """Declares an identity Bottleneck's exact param tree without running
+    it, returning the dict :func:`fold_bottleneck_params` expects."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        f, c = self.features, self.in_features
+        return {
+            "conv1": {"kernel": _ConvKernelParams((1, 1, c, f),
+                                                  name="conv1")()},
+            "bn1": _BNParams(f, name="bn1")(),
+            "conv2": {"kernel": _ConvKernelParams((3, 3, f, f),
+                                                  name="conv2")()},
+            "bn2": _BNParams(f, name="bn2")(),
+            "conv3": {"kernel": _ConvKernelParams((1, 1, f, 4 * f),
+                                                  name="conv3")()},
+            "bn3": _BNParams(4 * f, name="bn3")(),
+        }
+
+
 class ResNetStage(nn.Module):
+    """block0 (strided, downsample) + N-1 identity bottlenecks.
+
+    ``chain_pallas=True`` runs the identity tail through the fused
+    VMEM-resident Pallas chain (ops/pallas/bottleneck_kernel.py) when
+    tracing for a TPU in bf16 on supported shapes — at the production
+    canvas only layer3 qualifies (its (32, 64, 1024) map fits VMEM; the
+    stride-4/8 stages fall back to the per-block XLA path).  Parameter
+    tree, converter and checkpoints are unchanged; gradients flow via
+    the kernel's custom_vjp (backward remats through plain XLA ops)."""
+
     features: int
     blocks: int
     stride: int
     dtype: Any = jnp.bfloat16
+    chain_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from scda_tpu.ops.pallas import bottleneck_kernel
+
         x = Bottleneck(self.features, stride=self.stride, downsample=True,
                        dtype=self.dtype, name="block0")(x)
+        if (
+            self.chain_pallas
+            and self.blocks > 1
+            and jax.default_backend() == "tpu"
+            and self.dtype == jnp.bfloat16
+            and bottleneck_kernel.supported(
+                x.shape[1], x.shape[2], 4 * self.features, self.features)
+        ):
+            blocks = [
+                _BottleneckParams(self.features, 4 * self.features,
+                                  name=f"block{i}")()
+                for i in range(1, self.blocks)
+            ]
+            stacks = bottleneck_kernel.fold_bottleneck_params(blocks)
+            return bottleneck_kernel.bottleneck_chain(
+                x, *stacks, dtype=self.dtype)
         for i in range(1, self.blocks):
             x = Bottleneck(self.features, dtype=self.dtype,
                            name=f"block{i}")(x)
@@ -109,10 +195,12 @@ class ResNetBackbone(nn.Module):
 
     depth: int = 101
     dtype: Any = jnp.bfloat16
+    chain_pallas: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_pyramid: bool = False):
         blocks = RESNET_DEPTHS[self.depth]
+        cp = self.chain_pallas
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
@@ -121,10 +209,13 @@ class ResNetBackbone(nn.Module):
         x = nn.relu(x)
         # torch MaxPool2d(3, 2, padding=1)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        x = ResNetStage(64, blocks[0], 1, dtype=self.dtype, name="layer1")(x)
-        x = ResNetStage(128, blocks[1], 2, dtype=self.dtype, name="layer2")(x)
+        x = ResNetStage(64, blocks[0], 1, dtype=self.dtype,
+                        chain_pallas=cp, name="layer1")(x)
+        x = ResNetStage(128, blocks[1], 2, dtype=self.dtype,
+                        chain_pallas=cp, name="layer2")(x)
         f8 = x  # layer2 output, stride 8 (512 ch)
-        x = ResNetStage(256, blocks[2], 2, dtype=self.dtype, name="layer3")(x)
+        x = ResNetStage(256, blocks[2], 2, dtype=self.dtype,
+                        chain_pallas=cp, name="layer3")(x)
         if return_pyramid:
             return f8, x
         return x

@@ -62,7 +62,8 @@ class FasterRCNN(nn.Module):
             self.head = TinyHead(dtype=self.dtype)
         elif c.backbone.startswith("resnet"):
             depth = int(c.backbone.replace("resnet", ""))
-            self.backbone = ResNetBackbone(depth=depth, dtype=self.dtype)
+            self.backbone = ResNetBackbone(depth=depth, dtype=self.dtype,
+                                           chain_pallas=c.bottleneck_pallas)
             self.head = ResNetC4Head(depth=depth, dtype=self.dtype)
         else:
             raise ValueError(f"unknown backbone {c.backbone!r}")
