@@ -158,7 +158,7 @@ class VGG16Backbone(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_pyramid: bool = False):
-        from scda_tpu.ops.pallas import stem_kernel
+        from scda_tpu.ops.pallas import gate_backend_is_tpu, stem_kernel
 
         x = x.astype(self.dtype)
         f8 = None
@@ -166,7 +166,7 @@ class VGG16Backbone(nn.Module):
         layout = VGG16_LAYOUT
         if (
             self.stem_pallas
-            and jax.default_backend() == "tpu"
+            and gate_backend_is_tpu()
             and self.dtype == jnp.bfloat16
             and stem_kernel.supported(x.shape[1], x.shape[2],
                                       x.shape[3], 64, 8)

@@ -302,10 +302,25 @@ def _chain_fn(dtype_name: str, interpret: bool):
         return fn(x, *ws), (x, ws)
 
     def bwd(resids, g):
+        # Remat in UNIFORM f32: values enter bf16-rounded (.astype(dtype)
+        # then up) so the linearization point matches the kernel forward,
+        # but every transpose sees one dtype — conv_general_dilated's
+        # transpose rejects bf16 operands against the f32 cotangent that
+        # preferred_element_type=f32 produces (caught by dryrun_multichip
+        # phase 2: bf16 train step through the chain).  Per-stage rounding
+        # inside the remat is dropped; that noise is far below the bf16
+        # gradient noise custom_vjp already accepts.
         x, ws = resids
+
+        def up(t):
+            return t.astype(dtype).astype(jnp.float32)
+
         _, vjp = jax.vjp(
-            lambda xx, *ww: chain_reference(xx, *ww, dtype=dtype), x, *ws)
-        return vjp(g.astype(dtype))
+            lambda xx, *ww: chain_reference(xx, *ww, dtype=jnp.float32),
+            up(x), *(up(w) for w in ws))
+        grads = vjp(g.astype(jnp.float32))
+        return (grads[0].astype(x.dtype),) + tuple(
+            gw.astype(w.dtype) for gw, w in zip(grads[1:], ws))
 
     fn.defvjp(fwd, bwd)
     return fn

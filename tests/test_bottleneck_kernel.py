@@ -137,6 +137,42 @@ class TestChainKernel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-3)
 
+    def test_custom_vjp_bf16_trains(self, rng):
+        """bf16 grads through the chain must (a) not crash — the conv
+        transpose rejects mixed bf16/f32 operands, which the uniform-f32
+        remat avoids (bug caught by dryrun_multichip phase 2) — and
+        (b) track the f32 reference grads to bf16 tolerance."""
+        f = 128
+        c = 4 * f
+        x = jnp.asarray(rng.randn(1, 2, 16, c).astype(np.float32) * 0.5
+                        ).astype(jnp.bfloat16)
+        ws = _chain_weights(rng, 2, c, f)
+
+        def loss_kernel(x, *ws):
+            out = bk.bottleneck_chain(x, *ws, dtype=jnp.bfloat16,
+                                      interpret=True)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        def loss_ref(x, *ws):
+            out = bk.chain_reference(x.astype(jnp.float32), *ws,
+                                     dtype=jnp.float32)
+            return jnp.sum(out ** 2)
+
+        gk = jax.grad(loss_kernel, argnums=(1, 3, 5))(x, *ws)
+        gr = jax.grad(loss_ref, argnums=(1, 3, 5))(x, *ws)
+        for a, b in zip(gk, gr):
+            assert a.dtype == b.dtype == jnp.float32
+            scale = np.abs(np.asarray(b)).max() + 1e-6
+            err = np.abs(np.asarray(a) - np.asarray(b)) / scale
+            # Quantile bound, not a global atol: a relu whose f32
+            # pre-activation sits within bf16 rounding of zero flips
+            # state between the two forwards, making a handful of grad
+            # elements locally wrong by O(activation) — unbounded by any
+            # small atol, but measured at ~1e-5 of elements.
+            assert np.mean(err <= 0.05) >= 0.999, (
+                f"{np.mean(err > 0.05):.2e} of elements exceed 0.05")
+            assert err.max() <= 0.5, err.max()
+
     def test_sharded_batch_partitions_without_allgather(self, rng):
         """Under pjit with the batch sharded over the 8-device mesh the
         custom_partitioning rule must run the kernel on local shards —
@@ -229,3 +265,30 @@ class TestBackboneWiring:
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=0.06, atol=0.06)
+
+    def test_stage_fold_comparison_f32_tight(self, rng):
+        """f32 variant of the stage-level fold comparison: pins the BN
+        folding itself at ~1e-4, independent of the bf16 rounding noise
+        the 0.06-tolerance test above must allow (a systematic folding
+        bias — wrong eps, accumulation-order bug — would hide there)."""
+        f = 128
+        c = 4 * f
+        x = jnp.asarray(rng.randn(1, 8, 16, c).astype(np.float32) * 0.5)
+        stage = ResNetStage(f, 3, 1, dtype=jnp.float32, chain_pallas=False)
+        params = stage.init(jax.random.PRNGKey(1), x)
+        ref = stage.apply(params, x)
+
+        # Fused-path equivalent by hand (the module gate requires bf16,
+        # which is exactly the rounding we want excluded here): block0
+        # via the module, then fold the identity tail and run the chain
+        # kernel in f32 interpret mode.
+        p = params["params"]
+        x0 = Bottleneck(f, stride=1, downsample=True,
+                        dtype=jnp.float32).apply(
+            {"params": p["block0"]}, x)
+        blocks = [p[f"block{i}"] for i in (1, 2)]
+        ws = bk.fold_bottleneck_params(blocks)
+        out = bk.bottleneck_chain(x0, *ws, dtype=jnp.float32,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
