@@ -106,11 +106,23 @@ class ModelConfig:
     stem_pallas: bool = True
     # Fused Pallas ResNet bottleneck chain (N identity blocks with the
     # residual stream VMEM-resident — ops/pallas/bottleneck_kernel.py).
-    # Auto-applies only when tracing for a TPU in bf16 on shapes whose
+    # Opt-in: measured on chip 2026-08-19 (scripts/bottleneck_ab.py) it
+    # wins STANDALONE at the production layer3 shape (1.328 vs 1.503 ms)
+    # but LOSES fused end-to-end — res101-ms serving 159.4 img/s vs
+    # 196.0 with the XLA per-block path (XLA overlaps the unfused chain
+    # with neighbors; the Mosaic call serializes it).  Same verdict as
+    # the NMS/RoI kernels (RESULTS.md "Fused verdict").  When enabled it
+    # auto-applies only when tracing for a TPU in bf16 on shapes whose
     # map fits VMEM (layer3 at the production canvas); other stages and
     # CPU/f32 keep the per-block XLA path.  Trainable (custom_vjp
     # backward remats through plain XLA ops).
-    bottleneck_pallas: bool = True
+    bottleneck_pallas: bool = False
+    # ResNet RoI-head (layer4) convs as explicit MXU contractions (1x1s
+    # as (R*H*W, C) matmuls, the 3x3 as a stacked-9-tap matmul) — the
+    # pure-XLA reformulation class that won for the VGG stem and the
+    # einsum RoI align.  Opt-in until the chip A/B (scripts/head_ab.py)
+    # sets the default with measured numbers.
+    head_matmul: bool = False
     class_agnostic: bool = False
     truncated_init: bool = False     # ref TRAIN.TRUNCATED
     compute_dtype: str = "bfloat16"  # MXU-native matmul/conv dtype

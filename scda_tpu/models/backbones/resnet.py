@@ -56,17 +56,64 @@ class FrozenBatchNorm(nn.Module):
         return x.astype(self.dtype) * mult + add
 
 
+def _matmul_1x1(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
+                dtype) -> jnp.ndarray:
+    """1x1 conv as one MXU contraction ((B*H*W, Cin) x (Cin, Cout));
+    stride is a pre-slice (a strided pad-0 1x1 conv reads exactly the
+    stride-grid positions)."""
+    if stride > 1:
+        x = x[:, ::stride, ::stride, :]
+    return jax.lax.dot_general(
+        x.astype(dtype), kernel[0, 0].astype(dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+    )
+
+
+def _matmul_3x3(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
+                dtype) -> jnp.ndarray:
+    """3x3 pad-1 conv as a stacked-tap contraction: concatenate the nine
+    shifted (and strided) input views channel-wise and contract
+    (B*Ho*Wo, 9*F) x (9*F, F) in ONE dense MXU matmul — the formulation
+    that beat lax.conv 3x for the VGG stem (RESULTS.md).  At the RoI
+    head's tiny spatial extents (7x7 -> 4x4, batch 300) the taps are
+    cheap relabelings and the matmul is large and lane-aligned."""
+    h, w = x.shape[1], x.shape[2]
+    ho = (h + 2 - 3) // stride + 1
+    wo = (w + 2 - 3) // stride + 1
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = [
+        xp[:, i:i + (ho - 1) * stride + 1:stride,
+           j:j + (wo - 1) * stride + 1:stride, :]
+        for i in range(3) for j in range(3)
+    ]
+    stacked = jnp.concatenate(taps, axis=-1)          # (B, Ho, Wo, 9F)
+    f = kernel.shape[2]
+    wk = kernel.reshape(9 * f, kernel.shape[3]).astype(dtype)
+    return jax.lax.dot_general(
+        stacked, wk, (((stacked.ndim - 1,), (0,)), ((), ())),
+    )
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3 -> 1x1 bottleneck, expansion 4 (torchvision layout:
-    stride on the 3x3, 'B' downsample)."""
+    stride on the 3x3, 'B' downsample).
+
+    ``matmul=True`` computes the same math as explicit MXU contractions
+    (1x1s as (BHW, C) matmuls, the 3x3 as a stacked-9-tap matmul) with a
+    parameter tree IDENTICAL to the nn.Conv path — used by the RoI head
+    where lax.conv's lowering underutilizes the MXU at tiny spatial
+    extents (see :class:`ResNetC4Head`)."""
 
     features: int
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.bfloat16
+    matmul: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.matmul:
+            return self._matmul_forward(x)
         conv = lambda ch, k, s, name, pad=0: nn.Conv(
             ch, (k, k), strides=(s, s), padding=pad, use_bias=False,
             dtype=self.dtype, param_dtype=jnp.float32, name=name,
@@ -86,6 +133,29 @@ class Bottleneck(nn.Module):
                             "downsample_conv")(x)
             residual = FrozenBatchNorm(self.features * 4, dtype=self.dtype,
                                        name="downsample_bn")(residual)
+        return nn.relu(out + residual)
+
+    def _matmul_forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        f, c = self.features, x.shape[-1]
+        k1 = _ConvKernelParams((1, 1, c, f), name="conv1")()
+        out = _matmul_1x1(x, k1, 1, self.dtype)
+        out = FrozenBatchNorm(f, dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        k2 = _ConvKernelParams((3, 3, f, f), name="conv2")()
+        out = _matmul_3x3(out, k2, self.stride, self.dtype)
+        out = FrozenBatchNorm(f, dtype=self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+        k3 = _ConvKernelParams((1, 1, f, 4 * f), name="conv3")()
+        out = _matmul_1x1(out, k3, 1, self.dtype)
+        out = FrozenBatchNorm(4 * f, dtype=self.dtype, name="bn3")(out)
+        if self.downsample:
+            kd = _ConvKernelParams((1, 1, c, 4 * f),
+                                   name="downsample_conv")()
+            residual = _matmul_1x1(x, kd, self.stride, self.dtype)
+            residual = FrozenBatchNorm(4 * f, dtype=self.dtype,
+                                       name="downsample_bn")(residual)
+        else:
+            residual = x.astype(self.dtype)
         return nn.relu(out + residual)
 
 
@@ -161,17 +231,19 @@ class ResNetStage(nn.Module):
     stride: int
     dtype: Any = jnp.bfloat16
     chain_pallas: bool = False
+    matmul: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from scda_tpu.ops.pallas import bottleneck_kernel
+        from scda_tpu.ops.pallas import bottleneck_kernel, gate_backend_is_tpu
 
         x = Bottleneck(self.features, stride=self.stride, downsample=True,
-                       dtype=self.dtype, name="block0")(x)
+                       dtype=self.dtype, matmul=self.matmul,
+                       name="block0")(x)
         if (
             self.chain_pallas
             and self.blocks > 1
-            and jax.default_backend() == "tpu"
+            and gate_backend_is_tpu()
             and self.dtype == jnp.bfloat16
             and bottleneck_kernel.supported(
                 x.shape[1], x.shape[2], 4 * self.features, self.features)
@@ -186,7 +258,7 @@ class ResNetStage(nn.Module):
                 x, *stacks, dtype=self.dtype)
         for i in range(1, self.blocks):
             x = Bottleneck(self.features, dtype=self.dtype,
-                           name=f"block{i}")(x)
+                           matmul=self.matmul, name=f"block{i}")(x)
         return x
 
 
@@ -195,7 +267,10 @@ class ResNetBackbone(nn.Module):
 
     depth: int = 101
     dtype: Any = jnp.bfloat16
-    chain_pallas: bool = True
+    # Opt-in (mirrors config.bottleneck_pallas): the fused chain wins
+    # standalone but loses fused end-to-end (scripts/bottleneck_ab.py,
+    # 159.4 vs 196.0 img/s res101-ms serving).
+    chain_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_pyramid: bool = False):
@@ -223,15 +298,26 @@ class ResNetBackbone(nn.Module):
 
 class ResNetC4Head(nn.Module):
     """layer4 on pooled RoI features + global average pool
-    (ref resnet.py ``_head_to_tail``: RCNN_top(pool5).mean(3).mean(2))."""
+    (ref resnet.py ``_head_to_tail``: RCNN_top(pool5).mean(3).mean(2)).
+
+    ``matmul=True`` (cfg.model.head_matmul) computes every layer4 conv
+    as explicit MXU contractions — at the head's shapes ((R=300, 7, 7,
+    1024) -> (300, 4, 4, 2048)) each becomes one large lane-aligned
+    matmul ((4800, 9*512) x (4608, 512) for the 3x3), where lax.conv's
+    tiny-extent lowering measured ~39% of peak (RESULTS.md r4 ledger).
+    Same parameter tree; pure-XLA, so it composes with the scheduler
+    (the reformulation class that has WON fused here — stacked-27 stem,
+    einsum RoI — where opaque Pallas calls lost)."""
 
     depth: int = 101
     dtype: Any = jnp.bfloat16
+    matmul: bool = False
 
     @nn.compact
     def __call__(self, pooled: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         blocks = RESNET_DEPTHS[self.depth]
         x = ResNetStage(512, blocks[3], 2, dtype=self.dtype,
+                        matmul=self.matmul,
                         name="layer4")(pooled.astype(self.dtype))
         return jnp.mean(x, axis=(1, 2))
 

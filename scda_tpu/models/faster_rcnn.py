@@ -64,7 +64,8 @@ class FasterRCNN(nn.Module):
             depth = int(c.backbone.replace("resnet", ""))
             self.backbone = ResNetBackbone(depth=depth, dtype=self.dtype,
                                            chain_pallas=c.bottleneck_pallas)
-            self.head = ResNetC4Head(depth=depth, dtype=self.dtype)
+            self.head = ResNetC4Head(depth=depth, dtype=self.dtype,
+                                     matmul=c.head_matmul)
         else:
             raise ValueError(f"unknown backbone {c.backbone!r}")
 
