@@ -95,8 +95,8 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-NET_TO_PRESET = {"vgg16": "vgg16", "res50": "res101", "res101": "res101",
-                 "res152": "res101", "tiny": "vgg16"}
+NET_TO_PRESET = {"vgg16": "vgg16", "res50": "res50", "res101": "res101",
+                 "res152": "res152", "tiny": "vgg16"}
 NET_TO_BACKBONE = {"vgg16": "vgg16", "res50": "resnet50",
                    "res101": "resnet101", "res152": "resnet152",
                    "tiny": "tiny"}

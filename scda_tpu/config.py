@@ -380,9 +380,29 @@ def res101_config() -> Config:
     )
 
 
+def res50_config() -> Config:
+    """Equivalent of ref cfgs/res50.yml (same knobs as res101 at depth
+    50 — the canonical faster-rcnn.pytorch layout ships one ResNet
+    recipe per depth)."""
+    return Config(
+        model=ModelConfig(backbone="resnet50"),
+        train=TrainConfig(double_bias=False, weight_decay=1e-4),
+    )
+
+
+def res152_config() -> Config:
+    """Equivalent of ref cfgs/res152.yml."""
+    return Config(
+        model=ModelConfig(backbone="resnet152"),
+        train=TrainConfig(double_bias=False, weight_decay=1e-4),
+    )
+
+
 PRESETS = {
     "vgg16": vgg16_config,
     "res101": res101_config,
+    "res50": res50_config,
+    "res152": res152_config,
 }
 
 
