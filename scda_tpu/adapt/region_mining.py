@@ -50,7 +50,7 @@ def mine_regions(
         )
         _, assign, counts = kmeans(
             centers, cfg.num_groups, mask=mask, iters=cfg.kmeans_iters,
-            key=key_i,
+            key=key_i, init=cfg.kmeans_init,
         )
         onehot = (
             jax.nn.one_hot(assign, cfg.num_groups, dtype=jnp.float32)

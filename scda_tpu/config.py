@@ -151,6 +151,10 @@ class AdaptConfig:
     enabled: bool = False
     num_groups: int = 9             # K in region mining (paper: ~#objects prior)
     kmeans_iters: int = 10          # fixed lax.fori_loop iterations
+    # Mining k-means init: "++" (D²-spread, sklearn-default parity) or
+    # "spread" (legacy quantile-strided; kept selectable so the init's
+    # effect on adaptation is A/B-able — scripts/kmeans_init_ab.py).
+    kmeans_init: str = "++"
     mining_top_n: int = 300         # proposals fed to k-means
     region_pool_size: int = 7       # pooled patch side for discriminator
     adv_weight: float = 0.1         # lambda on the alignment loss

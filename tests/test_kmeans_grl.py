@@ -90,6 +90,26 @@ class TestKMeans:
             c = np.asarray(_init_centers(jnp.array(pts), mask, 5, key))
             assert np.abs(c).max() < 100  # never picks an invalid point
 
+    def test_spread_init_selectable(self, rng):
+        # The legacy quantile-spread init stays selectable
+        # (adapt.kmeans_init="spread") for counterfactual A/Bs; it must
+        # produce valid clusterings (all valid points counted, centres
+        # only from valid points) on both the random and det paths.
+        pts = np.concatenate([rng.randn(30, 2),
+                              1e4 + np.zeros((10, 2))]).astype(np.float32)
+        mask = jnp.array([True] * 30 + [False] * 10)
+        for key in (None, jax.random.key(5)):
+            centers, _, counts = kmeans(jnp.array(pts), 4, mask=mask,
+                                        iters=8, key=key, init="spread")
+            assert int(np.asarray(counts).sum()) == 30
+            assert np.abs(np.asarray(centers)).max() < 100
+        try:
+            kmeans(jnp.array(pts), 4, init="nope")
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("unknown init must raise")
+
     def test_counts_match_assignment(self, rng):
         pts = rng.randn(50, 2).astype(np.float32)
         _, assign, counts = kmeans(jnp.array(pts), 5, iters=8)
