@@ -58,14 +58,16 @@ def main(argv=None) -> int:
     args = parse_args(argv)
 
     from scda_tpu.cli.trainval import NET_TO_BACKBONE, NET_TO_PRESET
-    from scda_tpu.config import PRESETS, apply_overrides, replace_path
+    from scda_tpu.config import (
+        PRESETS, apply_overrides, parse_set_list, replace_path,
+    )
     from scda_tpu.data.voc import CITYSCAPES_CLASSES
 
     classes = tuple(args.classes) if args.classes else CITYSCAPES_CLASSES
     cfg = PRESETS[NET_TO_PRESET[args.net]]()
     cfg = replace_path(cfg, "model.backbone", NET_TO_BACKBONE[args.net])
     cfg = replace_path(cfg, "model.num_classes", len(classes) + 1)
-    overrides = dict(zip(args.set_cfgs[0::2], args.set_cfgs[1::2]))
+    overrides = parse_set_list(args.set_cfgs)
     if overrides:
         cfg = apply_overrides(cfg, overrides)
 

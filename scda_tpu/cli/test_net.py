@@ -72,7 +72,8 @@ def main(argv=None) -> int:
 
     from scda_tpu.cli.trainval import NET_TO_BACKBONE, NET_TO_PRESET
     from scda_tpu.config import (
-        PRESETS, _merge_into, apply_overrides, replace_path,
+        PRESETS, _merge_into, apply_overrides, parse_set_list,
+        replace_path,
     )
 
     cfg = PRESETS[NET_TO_PRESET[args.net]]()
@@ -96,7 +97,7 @@ def main(argv=None) -> int:
 
     if args.synth_size:
         cfg = replace_path(cfg, "data.image_size", tuple(args.synth_size))
-    overrides = dict(zip(args.set_cfgs[0::2], args.set_cfgs[1::2]))
+    overrides = parse_set_list(args.set_cfgs)
     if overrides:
         cfg = apply_overrides(cfg, overrides)
 

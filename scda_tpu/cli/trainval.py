@@ -104,7 +104,8 @@ NET_TO_BACKBONE = {"vgg16": "vgg16", "res50": "resnet50",
 
 def build_config(args):
     from scda_tpu.config import (
-        PRESETS, apply_overrides, config_from_yaml, replace_path,
+        PRESETS, apply_overrides, config_from_yaml, parse_set_list,
+        replace_path,
     )
 
     cfg = PRESETS[NET_TO_PRESET[args.net]]()
@@ -128,7 +129,7 @@ def build_config(args):
         cfg = replace_path(cfg, "adapt.enabled", True)
     if args.synth_size:
         cfg = replace_path(cfg, "data.image_size", tuple(args.synth_size))
-    overrides = dict(zip(args.set_cfgs[0::2], args.set_cfgs[1::2]))
+    overrides = parse_set_list(args.set_cfgs)
     if overrides:
         cfg = apply_overrides(cfg, overrides)
     if (cfg.model.stem_pallas and cfg.model.backbone == "vgg16"

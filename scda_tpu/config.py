@@ -326,6 +326,35 @@ def replace_path(cfg: Any, dotted: str, value: Any) -> Any:
     return dataclasses.replace(cfg, **{head: _coerce(value, current)})
 
 
+def parse_set_list(tokens) -> dict:
+    """Parse CLI ``--set`` tokens into an overrides dict.
+
+    Accepts the reference's pair form (``--set a.b 1 c.d 2`` —
+    cfg_from_list parity, ref lib/model/utils/config.py:~330) and
+    ``key=value`` tokens, mixed freely.  A dangling key RAISES instead
+    of being silently dropped: the old ``dict(zip(l[0::2], l[1::2]))``
+    swallowed odd-length lists, turning a mistyped ``--set k=v`` into a
+    silent no-op (caught when an A/B counterfactual arm trained
+    bit-identically to its control)."""
+    out: dict = {}
+    toks = list(tokens)
+    i = 0
+    while i < len(toks):
+        tok = toks[i]
+        if "=" in tok:
+            key, _, value = tok.partition("=")
+            out[key] = value
+            i += 1
+        else:
+            if i + 1 >= len(toks):
+                raise SystemExit(
+                    f"--set: missing value for config key {tok!r} "
+                    f"(use 'path value' pairs or 'path=value')")
+            out[tok] = toks[i + 1]
+            i += 2
+    return out
+
+
 def apply_overrides(cfg: Config, overrides: Mapping[str, Any]) -> Config:
     for key, value in overrides.items():
         cfg = replace_path(cfg, key, value)

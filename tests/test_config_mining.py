@@ -67,6 +67,25 @@ class TestConfig:
         with pytest.raises(KeyError):
             replace_path(Config(), "train.bogus_knob", 1)
 
+    def test_parse_set_list(self):
+        # Both pair form (reference cfg_from_list parity) and key=value
+        # form, mixed; a dangling key must raise, never silently drop
+        # (the old zip() parsing turned '--set k=v' into a no-op — the
+        # r5 counterfactual-arm incident).
+        import pytest
+
+        from scda_tpu.config import parse_set_list
+
+        assert parse_set_list([]) == {}
+        assert parse_set_list(["a.b", "1", "c.d", "2"]) == {
+            "a.b": "1", "c.d": "2"}
+        assert parse_set_list(["a.b=1", "c.d", "2", "e.f=x"]) == {
+            "a.b": "1", "c.d": "2", "e.f": "x"}
+        with pytest.raises(SystemExit):
+            parse_set_list(["a.b"])
+        with pytest.raises(SystemExit):
+            parse_set_list(["a.b", "1", "dangling"])
+
     def test_configs_hashable_and_jit_static(self):
         cfg = get_config("vgg16")
         # Frozen dataclasses must be hashable (jit-static args).
