@@ -134,6 +134,14 @@ class ModelConfig:
     # stride-16 map.
     multiscale_roi: bool = False
     ms_fine_threshold: float = 112.0  # roi sqrt-area (image px) cutoff
+    # Apply the lateral projection AFTER RoI-align instead of to the full
+    # stride-8 map.  A 1x1 conv (linear over channels) commutes exactly
+    # with RoI-align (linear over space): align(proj(f)) = align(f) @ W
+    # + b * (sum_h wy)(sum_w wx) — see FasterRCNN.pool_multiscale.  This
+    # halves the align's HBM intermediate (contracts at C=512 instead of
+    # the projected 1024) and deletes the full-map projection pass.
+    # Opt-in until the chip A/B sets the default with measured numbers.
+    ms_proj_after_pool: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -28,6 +28,17 @@ from scda_tpu.models.targets import anchor_targets, proposal_targets
 from scda_tpu.ops.nms import batched_nms
 
 
+def _pool_ms(model, params, feat_fine, feat, rois, mc):
+    """Multiscale pooling dispatch: with cfg.ms_proj_after_pool the
+    lateral projection commutes to after pooling (a parameterized step,
+    hence routed through the module); otherwise ``feat_fine`` arrives
+    already projected and the pooling is parameter-free."""
+    if mc.ms_proj_after_pool:
+        return model.apply({"params": params}, feat_fine, feat, rois,
+                           method=FasterRCNN.pool_multiscale)
+    return pool_rois_multiscale(feat_fine, feat, rois, mc)
+
+
 def make_anchors(cfg: Config, feat_hw: Tuple[int, int]) -> jnp.ndarray:
     """All anchors for the (static) feature map size — computed in numpy
     at trace time, a constant inside the jitted program."""
@@ -149,7 +160,7 @@ def forward_train(
 
     bs, s = samples.labels.shape
     if mc.multiscale_roi:
-        pooled = pool_rois_multiscale(feat_fine, feat, samples.rois, mc)
+        pooled = _pool_ms(model, params, feat_fine, feat, samples.rois, mc)
     else:
         pooled = pool_rois(feat, samples.rois, None, mc)  # grouped MXU
 
@@ -219,7 +230,7 @@ def forward_inference(
 
     b, n, _ = props.boxes.shape
     if mc.multiscale_roi:
-        pooled = pool_rois_multiscale(feat_fine, feat, props.boxes, mc)
+        pooled = _pool_ms(model, params, feat_fine, feat, props.boxes, mc)
     else:
         pooled = pool_rois(feat, props.boxes, None, mc)  # grouped MXU
     cls_logits, bbox_deltas = model.apply(

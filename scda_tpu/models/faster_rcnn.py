@@ -101,10 +101,43 @@ class FasterRCNN(nn.Module):
         return self.backbone(image)
 
     def features_pyramid(self, image: jnp.ndarray):
-        """Image -> (stride-8 projected, stride-16) feature pair for
-        multi-scale RoI pooling (cfg.multiscale_roi)."""
+        """Image -> (stride-8, stride-16) feature pair for multi-scale
+        RoI pooling (cfg.multiscale_roi).  The stride-8 level is
+        lateral-projected here unless cfg.ms_proj_after_pool commutes
+        the projection to after pooling (:meth:`pool_multiscale`)."""
         f8, f16 = self.backbone(image, return_pyramid=True)
+        if self.cfg.ms_proj_after_pool:
+            return f8, f16
         return self.c3_proj(f8), f16
+
+    def pool_multiscale(self, f8_raw: jnp.ndarray, f16: jnp.ndarray,
+                        rois: jnp.ndarray) -> jnp.ndarray:
+        """Level-assigned RoI align with the lateral projection applied
+        AFTER pooling (cfg.ms_proj_after_pool).
+
+        Exact commute of two linear maps: for the 1x1 projection
+        (W, b), ``align(proj(f)) = align(f) @ W + b * wsum`` where
+        ``wsum[r,p,q] = (sum_h wy[r,p,h]) * (sum_w wx[r,q,w])`` is the
+        bilinear weight mass (exactly 1 for interior rois; < 1 where
+        border samples drop).  The stride-8 align then contracts at
+        C3's raw channel count — its HBM intermediate halves at res101
+        scale and the full-map projection pass disappears; the
+        pooled-side projection is one (B*R*P*P, C3) x (C3, C) MXU
+        matmul."""
+        c = self.cfg
+        b, r, _ = rois.shape
+        pooled8, wsum = pool_fine_raw(f8_raw, rois, c)
+        flat = pooled8.reshape((b * r,) + pooled8.shape[2:])
+        proj = self.c3_proj(flat)
+        proj = proj.reshape((b, r) + proj.shape[1:])
+        # The projection bias enters align() scaled by the weight mass,
+        # not 1: correct by b * (wsum - 1) (zero for interior rois).
+        bias = self.c3_proj(
+            jnp.zeros((1, 1, 1, f8_raw.shape[-1]), flat.dtype))[0, 0, 0]
+        fine = ((wsum[..., None] - 1.0) * bias.astype(jnp.float32)
+                + proj.astype(jnp.float32)).astype(proj.dtype)
+        return pool_rois_multiscale(None, f16, rois, c,
+                                    fine_override=fine)
 
     def rpn_out(self, feat: jnp.ndarray):
         return self.rpn(feat)
@@ -121,17 +154,23 @@ class FasterRCNN(nn.Module):
     def __call__(self, image: jnp.ndarray, train: bool = False):
         """Init/tracing path touching every parameter."""
         if self.cfg.multiscale_roi:
-            _, feat = self.features_pyramid(image)
+            f8, feat = self.features_pyramid(image)
         else:
-            feat = self.features(image)
+            f8, feat = None, self.features(image)
         cls_logits, bbox = self.rpn_out(feat)
-        p = self.cfg.pooling_size
         dummy_rois = jnp.tile(
             jnp.asarray([[0.0, 0.0, 64.0, 64.0]], jnp.float32), (2, 1)
         )
-        pooled = pool_rois(
-            feat, dummy_rois, jnp.zeros((2,), jnp.int32), self.cfg
-        )
+        if self.cfg.multiscale_roi and self.cfg.ms_proj_after_pool:
+            # c3_proj is applied after pooling in this mode; route the
+            # init trace through the same method so it is initialised.
+            pooled = self.pool_multiscale(
+                f8, feat, jnp.tile(dummy_rois[None], (image.shape[0], 1, 1))
+            )
+        else:
+            pooled = pool_rois(
+                feat, dummy_rois, jnp.zeros((2,), jnp.int32), self.cfg
+            )
         scores, deltas = self.roi_head(pooled, train=train)
         return feat, cls_logits, bbox, scores, deltas
 
@@ -226,12 +265,13 @@ def pool_rois(
 
 
 def pool_rois_multiscale(
-    f8: jnp.ndarray,        # (B, H/8, W/8, C) lateral-projected
-    f16: jnp.ndarray,       # (B, H/16, W/16, C)
-    rois: jnp.ndarray,      # (B, R, 4) image coords
+    f8: jnp.ndarray | None,  # (B, H/8, W/8, C) lateral-projected
+    f16: jnp.ndarray,        # (B, H/16, W/16, C)
+    rois: jnp.ndarray,       # (B, R, 4) image coords
     cfg: ModelConfig,
     *,
     output_size: int | None = None,
+    fine_override: jnp.ndarray | None = None,  # (B, R, P, P, C)
 ) -> jnp.ndarray:
     """FPN-style level-assigned RoI align (BASELINE config #5).
 
@@ -239,6 +279,10 @@ def pool_rois_multiscale(
     ``ms_fine_threshold`` image pixels -> stride-8 level, else stride 16.
     Both levels are pooled (static shapes) and selected per roi; output
     is flat (B*R, P, P, C) like :func:`pool_rois`.
+
+    ``fine_override`` supplies the pooled fine level directly (the
+    proj-after-pool path, :meth:`FasterRCNN.pool_multiscale`); ``f8``
+    may then be None.
     """
     p = output_size or cfg.pooling_size
     b, r, _ = rois.shape
@@ -248,7 +292,9 @@ def pool_rois_multiscale(
     fine = jnp.sqrt(wh) < cfg.ms_fine_threshold  # (B, R)
 
     kw = dict(output_size=p, sampling_ratio=cfg.sampling_ratio)
-    if cfg.roi_pallas and _pallas_ok(f8) and _pallas_ok(f16):
+    use_pallas = cfg.roi_pallas and _pallas_ok(f16) and (
+        fine_override is not None or _pallas_ok(f8))
+    if use_pallas:
         # Opt-in, honestly A/B'd (r3): at res101-ms scale the W-tiled
         # kernel is bit-exact but SLOWER than the reordered einsum
         # (93.5 vs 156.4 img/s) — feature chunks re-stream per roi
@@ -261,15 +307,53 @@ def pool_rois_multiscale(
             roi_align_grouped_pallas,
         )
 
-        p8 = roi_align_grouped_pallas(f8, rois, spatial_scale=1.0 / 8.0,
-                                      **kw)
         p16 = roi_align_grouped_pallas(f16, rois,
                                        spatial_scale=1.0 / 16.0, **kw)
+        p8 = (fine_override if fine_override is not None else
+              roi_align_grouped_pallas(f8, rois, spatial_scale=1.0 / 8.0,
+                                       **kw))
     else:
-        p8 = roi_align_grouped(f8, rois, spatial_scale=1.0 / 8.0, **kw)
         p16 = roi_align_grouped(f16, rois, spatial_scale=1.0 / 16.0, **kw)
+        p8 = (fine_override if fine_override is not None else
+              roi_align_grouped(f8, rois, spatial_scale=1.0 / 8.0, **kw))
     out = jnp.where(fine[..., None, None, None], p8, p16)
     return out.reshape((-1,) + out.shape[2:])
+
+
+def pool_fine_raw(
+    f8: jnp.ndarray,        # (B, H/8, W/8, C3) UN-projected stride-8 level
+    rois: jnp.ndarray,      # (B, R, 4) image coords
+    cfg: ModelConfig,
+    *,
+    output_size: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stride-8 RoI-align without the lateral projection, plus the
+    bilinear weight-mass tensor needed to commute the projection bias
+    to after pooling (cfg.ms_proj_after_pool).
+
+    Returns ``(pooled (B, R, P, P, C3), wsum (B, R, P, P) f32)``.
+    ``wsum`` is exactly 1 for interior rois; border rois whose samples
+    fall outside the map carry the dropped-tap mass.  The duplicate
+    axis-weight build between this and :func:`roi_align_grouped` is
+    CSE'd by XLA (identical subgraphs).
+    """
+    from scda_tpu.ops.roi_ops import roi_align_axis_weights
+
+    p = output_size or cfg.pooling_size
+    _, h8, w8, _ = f8.shape
+    kw = dict(output_size=p, spatial_scale=1.0 / 8.0,
+              sampling_ratio=cfg.sampling_ratio)
+    wy, wx = roi_align_axis_weights(rois, h8, w8, **kw)
+    wsum = wy.sum(-1)[..., :, None] * wx.sum(-1)[..., None, :]
+    if cfg.roi_pallas and _pallas_ok(f8):
+        from scda_tpu.ops.pallas.roi_align_kernel import (
+            roi_align_grouped_pallas,
+        )
+
+        pooled = roi_align_grouped_pallas(f8, rois, **kw)
+    else:
+        pooled = roi_align_grouped(f8, rois, **kw)
+    return pooled, wsum
 
 
 def build_model(cfg: ModelConfig, num_anchors: int = 9) -> FasterRCNN:

@@ -142,8 +142,14 @@ def inference_flops_per_image(cfg: Config,
         total += cls_head_flops(rois, 2048, mc.num_classes,
                                 mc.class_agnostic)
         if mc.multiscale_roi:
-            # c3_proj lateral 1x1 (512 -> 1024) on the stride-8 map.
-            total += conv_flops(h // 8, w // 8, 512, 1024, 1)
+            if mc.ms_proj_after_pool:
+                # Commuted lateral projection: one 1x1 over the POOLED
+                # fine level (R*P*P positions) instead of the full map.
+                p = mc.pooling_size
+                total += dense_flops(rois * p * p, 512, 1024)
+            else:
+                # c3_proj lateral 1x1 (512 -> 1024) on the stride-8 map.
+                total += conv_flops(h // 8, w // 8, 512, 1024, 1)
     else:
         raise ValueError(mc.backbone)
     return total

@@ -83,7 +83,9 @@ def build(which: str, batch_size: int):
         f8, feat = backbone(params, image)
         props = _props(params, feat, im_info)
         if mc.multiscale_roi:
-            pooled = pool_rois_multiscale(f8, feat, props.boxes, mc)
+            from scda_tpu.models.detector import _pool_ms
+
+            pooled = _pool_ms(model, params, f8, feat, props.boxes, mc)
         else:
             pooled = pool_rois(feat, props.boxes, None, mc)
         cls_logits, bbox_deltas = model.apply(

@@ -555,6 +555,34 @@ class TestMultiscalePallasDispatch:
         np.testing.assert_allclose(np.asarray(bql), np.asarray(a),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_pool_fine_raw_pallas_matches_einsum(self, rng):
+        """pool_fine_raw (the un-projected stride-8 align feeding the
+        proj-after-pool commute) must agree across its pallas/einsum
+        gate, and its weight-mass output must be exactly 1 for interior
+        rois."""
+        import dataclasses
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        from scda_tpu.config import ModelConfig
+        from scda_tpu.models.faster_rcnn import pool_fine_raw
+
+        b, r = 1, 5
+        f8 = jnp.asarray(rng.randn(b, 16, 24, 128).astype(np.float32))
+        rois = jnp.asarray(
+            np.stack([random_rois(rng, r, 8 * 16, 12 * 16)]))
+        mc = ModelConfig(compute_dtype="float32")
+
+        a, wsum_a = pool_fine_raw(f8, rois, mc)
+        mc_p = dataclasses.replace(mc, roi_pallas=True)
+        with pltpu.force_tpu_interpret_mode():
+            p, wsum_p = pool_fine_raw(f8, rois, mc_p)
+        np.testing.assert_allclose(np.asarray(p), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(wsum_p), np.asarray(wsum_a))
+        # random_rois produces in-image boxes: full bilinear mass.
+        np.testing.assert_allclose(np.asarray(wsum_a), 1.0, rtol=1e-6)
+
 
 class TestPallasWTiling:
     def test_w_tiled_accumulation_matches_single_chunk(self, rng):

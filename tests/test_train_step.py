@@ -341,7 +341,52 @@ class TestMultiscaleRoi:
         assert np.allclose(out[0], 1.0), out[0].mean()
         assert np.allclose(out[1], 2.0), out[1].mean()
 
-    def test_multiscale_train_step_runs(self, rng):
+    def test_proj_after_pool_commute_matches(self, rng):
+        """cfg.ms_proj_after_pool is an exact linear-algebra commute:
+        align(proj(f)) == align(f) @ W + b*wsum — both formulations
+        must agree, including rois whose samples fall outside the map
+        (weight mass < 1 exercises the bias correction)."""
+        import dataclasses
+
+        from scda_tpu.models.faster_rcnn import (
+            FasterRCNN, pool_rois_multiscale,
+        )
+
+        cfg0 = tiny_config()
+
+        def mk(after):
+            return dataclasses.replace(
+                cfg0.model, multiscale_roi=True, ms_fine_threshold=100.0,
+                ms_proj_after_pool=after)
+
+        mc_a, mc_b = mk(False), mk(True)
+        model_a = build_model(mc_a)
+        model_b = build_model(mc_b)
+        cfg = dataclasses.replace(cfg0, model=mc_a)
+        h, w = cfg.data.image_size
+        params = init_params(model_a, jax.random.key(0), (1, h, w, 3))
+
+        image = jnp.asarray(rng.randn(1, h, w, 3).astype(np.float32) * 20)
+        rois = jnp.asarray(
+            [[[4.0, 4.0, 36.0, 36.0],                     # small -> fine
+              [0.0, 0.0, w - 1.0, h - 1.0],               # big -> coarse
+              [-20.0, -12.0, 24.0, 20.0],                 # border, fine
+              [w - 30.0, h - 26.0, w + 40.0, h + 8.0]]],  # border, fine
+            jnp.float32)
+
+        f8a, f16a = model_a.apply({"params": params}, image,
+                                  method=FasterRCNN.features_pyramid)
+        a = pool_rois_multiscale(f8a, f16a, rois, mc_a)
+        f8b, f16b = model_b.apply({"params": params}, image,
+                                  method=FasterRCNN.features_pyramid)
+        assert f8b.shape[-1] != f8a.shape[-1], "f8 must be un-projected"
+        out_b = model_b.apply({"params": params}, f8b, f16b, rois,
+                              method=FasterRCNN.pool_multiscale)
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("proj_after", [False, True])
+    def test_multiscale_train_step_runs(self, rng, proj_after):
         import dataclasses
 
         cfg0 = tiny_config()
@@ -349,7 +394,8 @@ class TestMultiscaleRoi:
         # fine-pool path, so c3_proj must receive gradient.
         cfg = dataclasses.replace(
             cfg0, model=dataclasses.replace(
-                cfg0.model, multiscale_roi=True, ms_fine_threshold=1e6)
+                cfg0.model, multiscale_roi=True, ms_fine_threshold=1e6,
+                ms_proj_after_pool=proj_after)
         )
         model = build_model(cfg.model)
         h, w = cfg.data.image_size
